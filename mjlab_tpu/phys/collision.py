@@ -1,0 +1,495 @@
+"""Collision: static broadphase pair table (host) + batched narrowphase (jnp).
+
+TPU-first design: there is no dynamic broadphase on device. All candidate
+geom pairs are enumerated once on the host from contype/conaffinity, body
+weld/parent filtering and explicit excludes — exactly MuJoCo's filtering
+rules — and each pair owns a *static* number of contact slots determined by
+the geom-type pair. The device narrowphase fills every slot every step;
+inactive slots are masked by dist >= includemargin. This replaces the
+reference's per-world nconmax allocation (reference src/mjlab/sim/sim.py:84-93)
+with fully static shapes.
+
+Supported narrowphase pairs (geom types ordered t1 <= t2):
+  plane-sphere(1), plane-capsule(2), plane-box(4),
+  sphere-sphere(1), sphere-capsule(1), sphere-box(1),
+  capsule-capsule(1), capsule-box(2).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+from mjlab_tpu.phys import math
+
+GEOM_PLANE = 0
+GEOM_HFIELD = 1
+GEOM_SPHERE = 2
+GEOM_CAPSULE = 3
+GEOM_ELLIPSOID = 4
+GEOM_CYLINDER = 5
+GEOM_BOX = 6
+GEOM_MESH = 7
+
+# contacts emitted per (type1, type2) narrowphase
+_PAIR_NCON = {
+    (GEOM_PLANE, GEOM_SPHERE): 1,
+    (GEOM_PLANE, GEOM_CAPSULE): 2,
+    (GEOM_PLANE, GEOM_BOX): 4,
+    (GEOM_SPHERE, GEOM_SPHERE): 1,
+    (GEOM_SPHERE, GEOM_CAPSULE): 1,
+    (GEOM_SPHERE, GEOM_BOX): 1,
+    (GEOM_CAPSULE, GEOM_CAPSULE): 1,
+    (GEOM_CAPSULE, GEOM_BOX): 2,
+}
+
+
+def make_pair_table(mj: mujoco.MjModel):
+    """Enumerate candidate contact pairs with MuJoCo's filtering rules."""
+    from mjlab_tpu.phys.model import PairTable
+
+    nbody = mj.nbody
+    weld = mj.body_weldid
+    # weld parent: weldid of the parent of the weld root body
+    weld_parent = np.array(
+        [weld[mj.body_parentid[mj.body_weldid[b]]] for b in range(nbody)]
+    )
+    excludes = set()
+    for e in range(mj.nexclude):
+        sig = int(mj.exclude_signature[e])
+        # signature = body1 << 16 | body2
+        excludes.add((sig >> 16, sig & 0xFFFF))
+        excludes.add((sig & 0xFFFF, sig >> 16))
+    if mj.npair:
+        warnings.warn("explicit <pair> elements are not yet supported; ignored")
+
+    filterparent = not (mj.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_FILTERPARENT)
+
+    g1s, g2s = [], []
+    skipped = set()
+    for i in range(mj.ngeom):
+        for j in range(i + 1, mj.ngeom):
+            b1, b2 = int(mj.geom_bodyid[i]), int(mj.geom_bodyid[j])
+            w1, w2 = int(weld[b1]), int(weld[b2])
+            if w1 == w2:
+                continue
+            if filterparent and w1 != 0 and w2 != 0 and (
+                w1 == weld_parent[b2] or w2 == weld_parent[b1]
+            ):
+                continue
+            if (b1, b2) in excludes:
+                continue
+            if not (
+                (mj.geom_contype[i] & mj.geom_conaffinity[j])
+                or (mj.geom_contype[j] & mj.geom_conaffinity[i])
+            ):
+                continue
+            t1, t2 = int(mj.geom_type[i]), int(mj.geom_type[j])
+            gi, gj = (i, j) if t1 <= t2 else (j, i)
+            key = (min(t1, t2), max(t1, t2))
+            if key not in _PAIR_NCON:
+                skipped.add(key)
+                continue
+            g1s.append(gi)
+            g2s.append(gj)
+    if skipped:
+        warnings.warn(f"unsupported collision type pairs skipped: {sorted(skipped)}")
+
+    geom1 = np.array(g1s, np.int32)
+    geom2 = np.array(g2s, np.int32)
+    npair = len(g1s)
+
+    # condim: priority rule, else max
+    p1 = mj.geom_priority[geom1] if npair else np.zeros(0)
+    p2 = mj.geom_priority[geom2] if npair else np.zeros(0)
+    c1 = mj.geom_condim[geom1] if npair else np.zeros(0, np.int32)
+    c2 = mj.geom_condim[geom2] if npair else np.zeros(0, np.int32)
+    pair_condim = np.where(
+        p1 > p2, c1, np.where(p2 > p1, c2, np.maximum(c1, c2))
+    ).astype(np.int32)
+
+    pair_ncon = np.array(
+        [
+            _PAIR_NCON[(int(mj.geom_type[a]), int(mj.geom_type[b]))]
+            for a, b in zip(geom1, geom2)
+        ],
+        np.int32,
+    ) if npair else np.zeros(0, np.int32)
+    pair_conadr = np.concatenate([[0], np.cumsum(pair_ncon)[:-1]]).astype(np.int32) if npair else np.zeros(0, np.int32)
+    ncon = int(pair_ncon.sum()) if npair else 0
+
+    con_pairid = np.repeat(np.arange(npair, dtype=np.int32), pair_ncon) if npair else np.zeros(0, np.int32)
+    con_geom1 = geom1[con_pairid] if npair else np.zeros(0, np.int32)
+    con_geom2 = geom2[con_pairid] if npair else np.zeros(0, np.int32)
+    con_dim = pair_condim[con_pairid] if npair else np.zeros(0, np.int32)
+
+    return PairTable(
+        geom1=geom1,
+        geom2=geom2,
+        pair_condim=pair_condim,
+        pair_ncon=pair_ncon,
+        pair_conadr=pair_conadr,
+        ncon=ncon,
+        con_pairid=con_pairid,
+        con_geom1=con_geom1,
+        con_geom2=con_geom2,
+        con_dim=con_dim,
+        con_efcadr=np.zeros(ncon, np.int32),  # filled by put_model
+    )
+
+
+# ---------------------------------------------------------------------------
+# Runtime parameter combination (traced; supports DR on geom fields)
+# ---------------------------------------------------------------------------
+
+
+def pair_params(m) -> tuple:
+    """Combined contact parameters per pair: friction(5), solref(2),
+    solimp(5), margin, gap. Follows MuJoCo's mixing rules: priority geom
+    wins outright; equal priorities mix solref/solimp by solmix weight and
+    take elementwise max friction and max margin/gap."""
+    pt = m.pairs
+    g1, g2 = pt.geom1, pt.geom2
+    pri1, pri2 = m.geom_priority[g1], m.geom_priority[g2]  # static numpy
+    f1, f2 = m.geom_friction[g1], m.geom_friction[g2]
+    sr1, sr2 = m.geom_solref[g1], m.geom_solref[g2]
+    si1, si2 = m.geom_solimp[g1], m.geom_solimp[g2]
+    mix1, mix2 = m.geom_solmix[g1], m.geom_solmix[g2]
+
+    # solmix weight with guards
+    denom = mix1 + mix2
+    w = jnp.where(denom > 1e-12, mix1 / jnp.where(denom > 1e-12, denom, 1.0), 0.5)
+    w = jnp.where((mix1 < 1e-12) & (mix2 < 1e-12), 0.5, w)
+    w = jnp.where((mix1 < 1e-12) & (mix2 >= 1e-12), 0.0, w)
+    w = jnp.where((mix2 < 1e-12) & (mix1 >= 1e-12), 1.0, w)
+    w = w[:, None]
+
+    # standard solref mixing; direct (non-positive timeconst) -> elementwise min
+    solref_mix = w * sr1 + (1 - w) * sr2
+    direct = (sr1[:, 0:1] <= 0) | (sr2[:, 0:1] <= 0)
+    solref_eq = jnp.where(direct, jnp.minimum(sr1, sr2), solref_mix)
+    solimp_eq = w * si1 + (1 - w) * si2
+    friction_eq = jnp.maximum(f1, f2)
+
+    pri1_gt = (pri1 > pri2)[:, None]  # numpy static -> constant
+    pri2_gt = (pri2 > pri1)[:, None]
+    friction = jnp.where(pri1_gt, f1, jnp.where(pri2_gt, f2, friction_eq))
+    solref = jnp.where(pri1_gt, sr1, jnp.where(pri2_gt, sr2, solref_eq))
+    solimp = jnp.where(pri1_gt, si1, jnp.where(pri2_gt, si2, solimp_eq))
+
+    margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+    gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
+
+    friction5 = jnp.stack(
+        [friction[:, 0], friction[:, 0], friction[:, 1], friction[:, 2], friction[:, 2]],
+        axis=-1,
+    )
+    return friction5, solref, solimp, margin, gap
+
+
+# ---------------------------------------------------------------------------
+# Narrowphase primitives (vectorized over pairs in a group)
+# ---------------------------------------------------------------------------
+
+
+def make_frame(n: jax.Array) -> jax.Array:
+    """Build contact frame rows [normal, tangent1, tangent2] from normal.
+
+    Matches mju_makeFrame (verified numerically against mujoco contacts):
+    the tangent candidate is the world y-axis when |n_y| < 0.5, else the
+    world z-axis; t1 = normalized rejection of the candidate, t2 = n x t1.
+    """
+    ny_small = jnp.abs(n[..., 1]) < 0.5
+    cand = jnp.where(
+        ny_small[..., None],
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], n.dtype), n.shape),
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], n.dtype), n.shape),
+    )
+    t1 = cand - n * jnp.sum(cand * n, axis=-1, keepdims=True)
+    t1 = math.normalize(t1)
+    t2 = jnp.cross(n, t1)
+    return jnp.stack([n, t1, t2], axis=-2)
+
+
+def _plane_sphere(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    n = xmat1[..., :, 2]
+    r = size2[..., 0]
+    h = jnp.sum(n * (xpos2 - xpos1), axis=-1)
+    dist = h - r
+    pos = xpos2 - n * (r + 0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], make_frame(n)[..., None, :, :]
+
+
+def _plane_capsule(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    n = xmat1[..., :, 2]
+    axis = xmat2[..., :, 2]
+    r = size2[..., 0:1]
+    hl = size2[..., 1:2]
+    e1 = xpos2 + axis * hl
+    e2 = xpos2 - axis * hl
+    dists, poss = [], []
+    for e in (e1, e2):
+        h = jnp.sum(n * (e - xpos1), axis=-1)
+        dist = h - r[..., 0]
+        pos = e - n * (r[..., 0] + 0.5 * dist)[..., None]
+        dists.append(dist)
+        poss.append(pos)
+    dist = jnp.stack(dists, axis=-1)
+    pos = jnp.stack(poss, axis=-2)
+    # MuJoCo aligns the first tangent with the capsule axis projected onto
+    # the plane (verified numerically); falls back to mju_makeFrame when the
+    # capsule is perpendicular to the plane.
+    t1 = axis - n * jnp.sum(axis * n, axis=-1, keepdims=True)
+    t1n = jnp.linalg.norm(t1, axis=-1, keepdims=True)
+    default = make_frame(n)
+    t1 = jnp.where(t1n > 1e-8, t1 / jnp.maximum(t1n, 1e-12), default[..., 1, :])
+    t2 = jnp.cross(n, t1)
+    frame = jnp.stack([n, t1, t2], axis=-2)
+    frame = jnp.broadcast_to(frame[..., None, :, :], pos.shape[:-1] + (3, 3))
+    return dist, pos, frame
+
+
+def _plane_box(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    n = xmat1[..., :, 2]
+    # 8 corners in box local frame
+    signs = jnp.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        dtype=xpos2.dtype,
+    )  # (8,3)
+    corners = xpos2[..., None, :] + jnp.einsum(
+        "...ij,kj->...ki", xmat2, signs * size2[..., None, :]
+    )
+    h = jnp.sum(n[..., None, :] * (corners - xpos1[..., None, :]), axis=-1)  # (...,8)
+    # keep the 4 deepest corners
+    neg_h, idx = jax.lax.top_k(-h, 4)
+    dist = -neg_h
+    pos = jnp.take_along_axis(corners, idx[..., None].repeat(3, -1), axis=-2)
+    pos = pos - n[..., None, :] * 0.5 * dist[..., None]
+    frame = jnp.broadcast_to(make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3))
+    return dist, pos, frame
+
+
+def _sphere_sphere_raw(c1, r1, c2, r2, dtype):
+    dvec = c2 - c1
+    L = jnp.linalg.norm(dvec, axis=-1)
+    n = dvec / jnp.maximum(L, 1e-12)[..., None]
+    # degenerate: coincident centers -> arbitrary up normal
+    n = jnp.where((L < 1e-12)[..., None], jnp.array([0.0, 0.0, 1.0], dtype), n)
+    dist = L - (r1 + r2)
+    pos = c1 + n * (r1 + 0.5 * dist)[..., None]
+    return dist, pos, n
+
+
+def _sphere_sphere(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    dist, pos, n = _sphere_sphere_raw(
+        xpos1, size1[..., 0], xpos2, size2[..., 0], xpos1.dtype
+    )
+    return dist[..., None], pos[..., None, :], make_frame(n)[..., None, :, :]
+
+
+def _closest_on_segment(p, a, b):
+    ab = b - a
+    t = jnp.sum((p - a) * ab, axis=-1) / jnp.maximum(
+        jnp.sum(ab * ab, axis=-1), 1e-12
+    )
+    t = jnp.clip(t, 0.0, 1.0)
+    return a + ab * t[..., None]
+
+
+def _sphere_capsule(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    axis = xmat2[..., :, 2]
+    hl = size2[..., 1:2]
+    a = xpos2 - axis * hl
+    b = xpos2 + axis * hl
+    cp = _closest_on_segment(xpos1, a, b)
+    dist, pos, n = _sphere_sphere_raw(
+        xpos1, size1[..., 0], cp, size2[..., 0], xpos1.dtype
+    )
+    return dist[..., None], pos[..., None, :], make_frame(n)[..., None, :, :]
+
+
+def _segment_segment(a1, b1, a2, b2):
+    """Closest points between segments [a1,b1], [a2,b2] (batched)."""
+    d1 = b1 - a1
+    d2 = b2 - a2
+    r = a1 - a2
+    A = jnp.sum(d1 * d1, -1)
+    E = jnp.sum(d2 * d2, -1)
+    F = jnp.sum(d2 * r, -1)
+    C = jnp.sum(d1 * r, -1)
+    B = jnp.sum(d1 * d2, -1)
+    denom = A * E - B * B
+    s = jnp.where(denom > 1e-12, (B * F - C * E) / jnp.maximum(denom, 1e-12), 0.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    t = jnp.where(E > 1e-12, (B * s + F) / jnp.maximum(E, 1e-12), 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    # re-project s for clamped t
+    s = jnp.where(
+        t != t_cl,
+        jnp.clip((B * t_cl - C) / jnp.maximum(A, 1e-12), 0.0, 1.0),
+        s,
+    )
+    p1 = a1 + d1 * s[..., None]
+    p2 = a2 + d2 * t_cl[..., None]
+    return p1, p2
+
+
+def _capsule_capsule(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    ax1 = xmat1[..., :, 2]
+    ax2 = xmat2[..., :, 2]
+    a1 = xpos1 - ax1 * size1[..., 1:2]
+    b1 = xpos1 + ax1 * size1[..., 1:2]
+    a2 = xpos2 - ax2 * size2[..., 1:2]
+    b2 = xpos2 + ax2 * size2[..., 1:2]
+    p1, p2 = _segment_segment(a1, b1, a2, b2)
+    dist, pos, n = _sphere_sphere_raw(p1, size1[..., 0], p2, size2[..., 0], xpos1.dtype)
+    return dist[..., None], pos[..., None, :], make_frame(n)[..., None, :, :]
+
+
+def _point_box_dist(p_local, size):
+    """Signed distance from point to box surface (local frame) and outward
+    normal (local frame). Negative inside."""
+    q = jnp.clip(p_local, -size, size)
+    delta = p_local - q
+    d_out = jnp.linalg.norm(delta, axis=-1)
+    outside = d_out > 1e-12
+    n_out = delta / jnp.maximum(d_out, 1e-12)[..., None]
+    # inside: nearest face
+    face_d = size - jnp.abs(p_local)  # (..., 3) distances to faces
+    k = jnp.argmin(face_d, axis=-1)
+    sgn = jnp.sign(jnp.take_along_axis(p_local, k[..., None], -1))[..., 0]
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    n_in = jnp.eye(3, dtype=p_local.dtype)[k] * sgn[..., None]
+    d_in = -jnp.take_along_axis(face_d, k[..., None], -1)[..., 0]
+    dist = jnp.where(outside, d_out, d_in)
+    n = jnp.where(outside[..., None], n_out, n_in)
+    # surface point
+    surf = jnp.where(outside[..., None], q, p_local - n * d_in[..., None])
+    return dist, n, surf
+
+
+def _sphere_box(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    # sphere is geom1, box geom2
+    p_local = jnp.einsum("...ji,...j->...i", xmat2, xpos1 - xpos2)
+    sd, n_local, surf_local = _point_box_dist(p_local, size2)
+    r = size1[..., 0]
+    dist = sd - r
+    n_world = jnp.einsum("...ij,...j->...i", xmat2, n_local)
+    surf_world = xpos2 + jnp.einsum("...ij,...j->...i", xmat2, surf_local)
+    # normal from geom1(sphere) to geom2(box): pointing INTO the box = -n_world
+    n = -n_world
+    pos = surf_world - n * (0.5 * dist)[..., None]
+    return dist[..., None], pos[..., None, :], make_frame(n)[..., None, :, :]
+
+
+def _capsule_box(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    """Capsule (geom1) vs box (geom2): 2 contacts at segment samples closest
+    to the box, found by fixed-iteration ternary search (convex in t)."""
+    ax = xmat1[..., :, 2]
+    hl = size1[..., 1:2]
+    a = xpos1 - ax * hl
+    b = xpos1 + ax * hl
+
+    def seg_dist(t):
+        p = a + (b - a) * t[..., None]
+        p_local = jnp.einsum("...ji,...j->...i", xmat2, p - xpos2)
+        sd, _, _ = _point_box_dist(p_local, size2)
+        return sd
+
+    lo = jnp.zeros(xpos1.shape[:-1], xpos1.dtype)
+    hi = jnp.ones(xpos1.shape[:-1], xpos1.dtype)
+    for _ in range(20):
+        m1 = lo + (hi - lo) / 3.0
+        m2 = hi - (hi - lo) / 3.0
+        f1, f2 = seg_dist(m1), seg_dist(m2)
+        lo = jnp.where(f1 > f2, m1, lo)
+        hi = jnp.where(f1 > f2, hi, m2)
+    t_star = 0.5 * (lo + hi)
+
+    dists, poss, ns = [], [], []
+    for t in (t_star, jnp.where(t_star > 0.5, lo * 0.0, lo * 0.0 + 1.0)):
+        # second sample: opposite endpoint for a stable 2-point manifold
+        p = a + (b - a) * t[..., None]
+        p_local = jnp.einsum("...ji,...j->...i", xmat2, p - xpos2)
+        sd, n_local, surf_local = _point_box_dist(p_local, size2)
+        r = size1[..., 0]
+        dist = sd - r
+        n = -jnp.einsum("...ij,...j->...i", xmat2, n_local)
+        surf_world = xpos2 + jnp.einsum("...ij,...j->...i", xmat2, surf_local)
+        pos = surf_world - n * (0.5 * dist)[..., None]
+        dists.append(dist)
+        poss.append(pos)
+        ns.append(n)
+    return (
+        jnp.stack(dists, -1),
+        jnp.stack(poss, -2),
+        make_frame(jnp.stack(ns, -2)),
+    )
+
+
+_NARROWPHASE = {
+    (GEOM_PLANE, GEOM_SPHERE): _plane_sphere,
+    (GEOM_PLANE, GEOM_CAPSULE): _plane_capsule,
+    (GEOM_PLANE, GEOM_BOX): _plane_box,
+    (GEOM_SPHERE, GEOM_SPHERE): _sphere_sphere,
+    (GEOM_SPHERE, GEOM_CAPSULE): _sphere_capsule,
+    (GEOM_SPHERE, GEOM_BOX): _sphere_box,
+    (GEOM_CAPSULE, GEOM_CAPSULE): _capsule_capsule,
+    (GEOM_CAPSULE, GEOM_BOX): _capsule_box,
+}
+
+
+def collision(m, d):
+    """Fill d.contact from geom poses. Single world (vmap for batching)."""
+    pt = m.pairs
+    ncon = pt.ncon
+    dtype = d.qpos.dtype
+    if ncon == 0:
+        return d
+
+    friction5, solref, solimp, margin, gap = pair_params(m)
+
+    dist = jnp.zeros((ncon,), dtype)
+    pos = jnp.zeros((ncon, 3), dtype)
+    frame = jnp.zeros((ncon, 3, 3), dtype)
+
+    # group pairs by type-pair (static grouping)
+    type1 = m.geom_type[pt.geom1]
+    type2 = m.geom_type[pt.geom2]
+    keys = {}
+    for p in range(len(pt.geom1)):
+        keys.setdefault((int(type1[p]), int(type2[p])), []).append(p)
+
+    for key, plist in keys.items():
+        fn = _NARROWPHASE[key]
+        pidx = np.array(plist, np.int32)
+        g1 = pt.geom1[pidx]
+        g2 = pt.geom2[pidx]
+        dd, pp, nn = fn(
+            d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
+            d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+        )
+        k = dd.shape[-1]
+        # contact slot indices for these pairs (static)
+        slots = np.concatenate(
+            [np.arange(pt.pair_conadr[p], pt.pair_conadr[p] + k) for p in plist]
+        ).astype(np.int32)
+        dist = dist.at[slots].set(dd.reshape(-1))
+        pos = pos.at[slots].set(pp.reshape(-1, 3))
+        frame = frame.at[slots].set(nn.reshape(-1, 3, 3))
+
+    cp = pt.con_pairid
+    contact = d.contact.replace(
+        dist=dist,
+        pos=pos,
+        frame=frame,
+        friction=friction5[cp],
+        solref=solref[cp],
+        solimp=solimp[cp],
+        includemargin=(margin - gap)[cp],
+    )
+    return d.replace(contact=contact)

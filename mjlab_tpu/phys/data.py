@@ -1,0 +1,172 @@
+"""Data pytree: the complete dynamic state of one world.
+
+Batched simulation = vmap over Data (and selectively over Model for domain
+randomization). Mirrors the useful subset of mjData; every field is a fixed-
+shape jnp array so the whole step compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+from mjlab_tpu.utils.struct import pytree
+from mjlab_tpu.phys.model import Model
+
+
+@pytree
+class Contact:
+    """Contact slots (static count; inactive slots masked by dist)."""
+
+    dist: jax.Array  # (ncon,)
+    pos: jax.Array  # (ncon, 3)
+    frame: jax.Array  # (ncon, 3, 3) rows: [normal, tangent1, tangent2]
+    friction: jax.Array  # (ncon, 5)
+    solref: jax.Array  # (ncon, 2)
+    solimp: jax.Array  # (ncon, 5)
+    includemargin: jax.Array  # (ncon,)
+
+
+@pytree
+class Data:
+    # ----- inputs / state -----
+    time: jax.Array
+    qpos: jax.Array  # (nq,)
+    qvel: jax.Array  # (nv,)
+    ctrl: jax.Array  # (nu,)
+    qfrc_applied: jax.Array  # (nv,)
+    xfrc_applied: jax.Array  # (nbody, 6) [torque? mujoco: (force(3), torque(3))]
+    mocap_pos: jax.Array  # (nmocap, 3)
+    mocap_quat: jax.Array  # (nmocap, 4)
+    qacc_warmstart: jax.Array  # (nv,)
+
+    # ----- position stage -----
+    xpos: jax.Array  # (nbody, 3)
+    xquat: jax.Array  # (nbody, 4)
+    xmat: jax.Array  # (nbody, 3, 3)
+    xipos: jax.Array  # (nbody, 3)
+    ximat: jax.Array  # (nbody, 3, 3)
+    xanchor: jax.Array  # (njnt, 3)
+    xaxis: jax.Array  # (njnt, 3)
+    geom_xpos: jax.Array  # (ngeom, 3)
+    geom_xmat: jax.Array  # (ngeom, 3, 3)
+    site_xpos: jax.Array  # (nsite, 3)
+    site_xmat: jax.Array  # (nsite, 3, 3)
+    subtree_com: jax.Array  # (nbody, 3)
+    cinert: jax.Array  # (nbody, 6, 6) spatial inertia in c-frame
+    cdof: jax.Array  # (nv, 6)
+    qM: jax.Array  # (nv, nv) dense
+    qLD: jax.Array  # (nv, nv) cholesky factor (lower)
+    contact: Contact
+
+    # ----- velocity stage -----
+    cvel: jax.Array  # (nbody, 6)
+    cdof_dot: jax.Array  # (nv, 6)
+    qfrc_bias: jax.Array  # (nv,)
+    qfrc_passive: jax.Array  # (nv,)
+
+    # ----- actuation -----
+    actuator_length: jax.Array  # (nu,)
+    actuator_velocity: jax.Array  # (nu,)
+    actuator_moment: jax.Array  # (nu, nv)
+    actuator_force: jax.Array  # (nu,)
+    qfrc_actuator: jax.Array  # (nv,)
+
+    # ----- acceleration / constraints -----
+    qfrc_smooth: jax.Array  # (nv,)
+    qacc_smooth: jax.Array  # (nv,)
+    efc_J: jax.Array  # (nefc, nv)
+    efc_D: jax.Array  # (nefc,)
+    efc_aref: jax.Array  # (nefc,)
+    efc_pos: jax.Array  # (nefc,)
+    efc_margin: jax.Array  # (nefc,)
+    efc_frictionloss: jax.Array  # (nefc,)
+    efc_active: jax.Array  # (nefc,) bool: row participates this step
+    efc_force: jax.Array  # (nefc,)
+    qfrc_constraint: jax.Array  # (nv,)
+    qacc: jax.Array  # (nv,)
+
+
+def make_data(m: Model, dtype=jnp.float32) -> Data:
+    """Fresh Data at qpos0 (positions not yet propagated — call forward)."""
+    ncon = m.pairs.ncon
+
+    def z(*shape):
+        return jnp.zeros(shape, dtype)
+
+    eye_b = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nbody, 3, 3))
+    return Data(
+        time=z(),
+        qpos=jnp.asarray(m.qpos0, dtype),
+        qvel=z(m.nv),
+        ctrl=z(m.nu),
+        qfrc_applied=z(m.nv),
+        xfrc_applied=z(m.nbody, 6),
+        mocap_pos=z(m.nmocap, 3),
+        mocap_quat=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (m.nmocap, 1)),
+        qacc_warmstart=z(m.nv),
+        xpos=z(m.nbody, 3),
+        xquat=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (m.nbody, 1)),
+        xmat=eye_b,
+        xipos=z(m.nbody, 3),
+        ximat=eye_b,
+        xanchor=z(m.njnt, 3),
+        xaxis=z(m.njnt, 3),
+        geom_xpos=z(m.ngeom, 3),
+        geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ngeom, 3, 3)),
+        site_xpos=z(m.nsite, 3),
+        site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nsite, 3, 3)),
+        subtree_com=z(m.nbody, 3),
+        cinert=z(m.nbody, 6, 6),
+        cdof=z(m.nv, 6),
+        qM=z(m.nv, m.nv),
+        qLD=z(m.nv, m.nv),
+        contact=Contact(
+            dist=jnp.full((ncon,), 1e10, dtype),
+            pos=z(ncon, 3),
+            frame=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (ncon, 3, 3)),
+            friction=jnp.tile(jnp.array([1.0, 1.0, 0.005, 1e-4, 1e-4], dtype), (ncon, 1)),
+            solref=jnp.tile(jnp.array([0.02, 1.0], dtype), (ncon, 1)),
+            solimp=jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype), (ncon, 1)),
+            includemargin=z(ncon),
+        ),
+        cvel=z(m.nbody, 6),
+        cdof_dot=z(m.nv, 6),
+        qfrc_bias=z(m.nv),
+        qfrc_passive=z(m.nv),
+        actuator_length=z(m.nu),
+        actuator_velocity=z(m.nu),
+        actuator_moment=z(m.nu, m.nv),
+        actuator_force=z(m.nu),
+        qfrc_actuator=z(m.nv),
+        qfrc_smooth=z(m.nv),
+        qacc_smooth=z(m.nv),
+        efc_J=z(m.nefc, m.nv),
+        efc_D=z(m.nefc),
+        efc_aref=z(m.nefc),
+        efc_pos=z(m.nefc),
+        efc_margin=z(m.nefc),
+        efc_frictionloss=z(m.nefc),
+        efc_active=jnp.zeros((m.nefc,), bool),
+        efc_force=z(m.nefc),
+        qfrc_constraint=z(m.nv),
+        qacc=z(m.nv),
+    )
+
+
+def put_data(m: Model, d_mj: mujoco.MjData, dtype=jnp.float32) -> Data:
+    """Copy state (qpos/qvel/ctrl/applied/mocap/warmstart) from an mjData."""
+    d = make_data(m, dtype)
+    return d.replace(
+        time=jnp.asarray(d_mj.time, dtype),
+        qpos=jnp.asarray(np.array(d_mj.qpos), dtype),
+        qvel=jnp.asarray(np.array(d_mj.qvel), dtype),
+        ctrl=jnp.asarray(np.array(d_mj.ctrl), dtype),
+        qfrc_applied=jnp.asarray(np.array(d_mj.qfrc_applied), dtype),
+        xfrc_applied=jnp.asarray(np.array(d_mj.xfrc_applied), dtype),
+        mocap_pos=jnp.asarray(np.array(d_mj.mocap_pos).reshape(m.nmocap, 3), dtype),
+        mocap_quat=jnp.asarray(np.array(d_mj.mocap_quat).reshape(m.nmocap, 4), dtype),
+        qacc_warmstart=jnp.asarray(np.array(d_mj.qacc_warmstart), dtype),
+    )

@@ -1,0 +1,138 @@
+"""Forward dynamics pipeline and integrators (mj_forward / mj_step
+semantics for Euler and implicitfast).
+
+Single-world pure functions; batch with vmap, compile with jit. The whole
+step is the TPU analog of the reference's captured CUDA step graph
+(reference src/mjlab/sim/sim.py:164-191) — XLA compiles it once and replays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mjlab_tpu.phys import math
+from mjlab_tpu.phys.model import (
+    DSBL_EULERDAMP,
+    INT_EULER,
+    INT_IMPLICITFAST,
+    JNT_BALL,
+    JNT_FREE,
+    JNT_HINGE,
+    JNT_SLIDE,
+    Model,
+)
+from mjlab_tpu.phys.data import Data
+from mjlab_tpu.phys.kinematics import com_pos, kinematics
+from mjlab_tpu.phys.collision import collision
+from mjlab_tpu.phys.constraint import make_constraint
+from mjlab_tpu.phys.solver import solve
+from mjlab_tpu.phys import smooth
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+    d = kinematics(m, d)
+    d = com_pos(m, d)
+    d = smooth.crb(m, d)
+    d = collision(m, d)
+    d = smooth.transmission(m, d)
+    d = make_constraint(m, d)
+    return d
+
+
+def fwd_velocity(m: Model, d: Data) -> Data:
+    d = smooth.com_vel(m, d)
+    d = smooth.rne(m, d)
+    d = smooth.passive(m, d)
+    return d
+
+
+def fwd_acceleration(m: Model, d: Data) -> Data:
+    qfrc_smooth = (
+        d.qfrc_passive
+        - d.qfrc_bias
+        + d.qfrc_actuator
+        + d.qfrc_applied
+        + smooth.xfrc_accumulate(m, d)
+    )
+    qacc_smooth = smooth.solve_m(d, qfrc_smooth)
+    return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+
+def forward(m: Model, d: Data) -> Data:
+    d = fwd_position(m, d)
+    d = fwd_velocity(m, d)
+    d = smooth.fwd_actuation(m, d)
+    d = fwd_acceleration(m, d)
+    d = solve(m, d)
+    return d
+
+
+def _actuator_vel_deriv(m: Model, d: Data) -> jax.Array:
+    """d(actuator force)/d(actuator velocity) per actuator."""
+    dfdv = jnp.zeros(m.nu, d.qpos.dtype)
+    if m.nu == 0:
+        return dfdv
+    affine_bias = jnp.asarray(m.actuator_biastype == 1)
+    dfdv = jnp.where(affine_bias, m.actuator_biasprm[:, 2], dfdv)
+    affine_gain = jnp.asarray(m.actuator_gaintype == 1)
+    dfdv = dfdv + jnp.where(affine_gain, m.actuator_gainprm[:, 2] * d.ctrl, 0.0)
+    return dfdv
+
+
+def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
+    out = qpos
+    for j in range(m.njnt):
+        jtype = int(m.jnt_type[j])
+        qadr = int(m.jnt_qposadr[j])
+        vadr = int(m.jnt_dofadr[j])
+        if jtype == JNT_FREE:
+            out = out.at[qadr : qadr + 3].set(
+                qpos[qadr : qadr + 3] + dt * qvel[vadr : vadr + 3]
+            )
+            q = math.quat_integrate(
+                qpos[qadr + 3 : qadr + 7], qvel[vadr + 3 : vadr + 6], dt
+            )
+            out = out.at[qadr + 3 : qadr + 7].set(q)
+        elif jtype == JNT_BALL:
+            q = math.quat_integrate(qpos[qadr : qadr + 4], qvel[vadr : vadr + 3], dt)
+            out = out.at[qadr : qadr + 4].set(q)
+        else:  # hinge / slide
+            out = out.at[qadr].set(qpos[qadr] + dt * qvel[vadr])
+    return out
+
+
+def _euler_qacc(m: Model, d: Data) -> jax.Array:
+    """Implicit-in-damping velocity update: (M + h B) a' = M a."""
+    if (m.opt.disableflags & DSBL_EULERDAMP):
+        return d.qacc
+    h = m.opt.timestep
+    Mh = d.qM + h * jnp.diag(m.dof_damping)
+    L = jnp.linalg.cholesky(Mh)
+    return jax.scipy.linalg.cho_solve((L, True), d.qM @ d.qacc)
+
+
+def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
+    """(M - h dF/dv) a' = M a with dF/dv = -diag(damping) + moment^T G moment."""
+    h = m.opt.timestep
+    Mh = d.qM + h * jnp.diag(m.dof_damping)
+    if m.nu:
+        dfdv = _actuator_vel_deriv(m, d)
+        Mh = Mh - h * (d.actuator_moment.T * dfdv) @ d.actuator_moment
+    L = jnp.linalg.cholesky(Mh)
+    return jax.scipy.linalg.cho_solve((L, True), d.qM @ d.qacc)
+
+
+def step(m: Model, d: Data) -> Data:
+    """One physics step: forward dynamics + integration."""
+    d = forward(m, d)
+    h = m.opt.timestep
+    if m.opt.integrator == INT_EULER:
+        qacc_int = _euler_qacc(m, d)
+    elif m.opt.integrator == INT_IMPLICITFAST:
+        qacc_int = _implicitfast_qacc(m, d)
+    else:
+        raise NotImplementedError(f"integrator {m.opt.integrator}")
+    qvel = d.qvel + h * qacc_int
+    qpos = _integrate_pos(m, d.qpos, qvel, h)
+    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)

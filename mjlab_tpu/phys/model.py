@@ -1,0 +1,328 @@
+"""Model pytree and host-side conversion from mujoco.MjModel.
+
+The host keeps MuJoCo's MjSpec/MjModel pipeline as the model *compiler*
+(reference SURVEY.md §7.0); ``put_model`` converts the compiled MjModel into
+a JAX pytree. Structural tables (tree topology, joint types, constraint
+layout, contact pair table) are static numpy aux data — available for
+Python-level indexing at trace time and hashed into the jit cache key.
+Physical parameters (masses, gains, friction, ...) are traced jnp arrays so
+domain randomization can give any of them a leading env axis without
+recompilation (vmap with a Model-pytree of in_axes).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+from mjlab_tpu.utils.struct import Static, pytree
+
+# mjtDisableBit subset we honor.
+DSBL_EULERDAMP = mujoco.mjtDisableBit.mjDSBL_EULERDAMP.value
+DSBL_GRAVITY = mujoco.mjtDisableBit.mjDSBL_GRAVITY.value
+DSBL_CONTACT = mujoco.mjtDisableBit.mjDSBL_CONTACT.value
+DSBL_LIMIT = mujoco.mjtDisableBit.mjDSBL_LIMIT.value
+DSBL_FRICTIONLOSS = mujoco.mjtDisableBit.mjDSBL_FRICTIONLOSS.value
+
+# Joint types (match mujoco.mjtJoint)
+JNT_FREE, JNT_BALL, JNT_SLIDE, JNT_HINGE = 0, 1, 2, 3
+
+# Integrators
+INT_EULER, INT_RK4, INT_IMPLICIT, INT_IMPLICITFAST = 0, 1, 2, 3
+
+# Cones
+CONE_PYRAMIDAL, CONE_ELLIPTIC = 0, 1
+
+# efc row types (our layout, not mujoco's enum)
+EFC_FRICTION_DOF = 0
+EFC_LIMIT_JOINT = 1
+EFC_CONTACT = 2
+
+
+@pytree
+class Option:
+    """Physics options. Mirrors mjModel.opt for the supported feature set."""
+
+    timestep: jax.Array
+    gravity: jax.Array  # (3,)
+    impratio: jax.Array
+
+    # static solver configuration
+    integrator: Static[int]
+    cone: Static[int]
+    iterations: Static[int]
+    ls_iterations: Static[int]
+    tolerance: Static[float]
+    ls_tolerance: Static[float]
+    disableflags: Static[int]
+
+
+@pytree
+class PairTable:
+    """Static candidate contact-pair table (host-precomputed broadphase).
+
+    Pairs are grouped by (type1, type2) narrowphase function; each pair
+    owns a fixed number of contact slots. ``ncon`` is the static total.
+    All fields are numpy aux data.
+    """
+
+    geom1: Static[np.ndarray]  # (npair,) geom ids
+    geom2: Static[np.ndarray]
+    pair_condim: Static[np.ndarray]  # (npair,)
+    pair_ncon: Static[np.ndarray]  # (npair,) contact slots for this pair
+    pair_conadr: Static[np.ndarray]  # (npair,) first contact slot index
+    ncon: Static[int]  # total contact slots
+    # per contact slot (length ncon):
+    con_pairid: Static[np.ndarray]
+    con_geom1: Static[np.ndarray]
+    con_geom2: Static[np.ndarray]
+    con_dim: Static[np.ndarray]  # condim per slot
+    con_efcadr: Static[np.ndarray]  # first efc row of this contact
+
+
+@pytree
+class Model:
+    """Physics model. A single-world description; fields listed under
+    'traced' may carry a leading env axis for domain randomization."""
+
+    # ----- static structural data (numpy aux) -----
+    nq: Static[int]
+    nv: Static[int]
+    nu: Static[int]
+    nbody: Static[int]
+    njnt: Static[int]
+    ngeom: Static[int]
+    nsite: Static[int]
+    nmocap: Static[int]
+
+    body_parentid: Static[np.ndarray]
+    body_rootid: Static[np.ndarray]
+    body_jntadr: Static[np.ndarray]
+    body_jntnum: Static[np.ndarray]
+    body_dofadr: Static[np.ndarray]
+    body_dofnum: Static[np.ndarray]
+    body_mocapid: Static[np.ndarray]
+
+    jnt_type: Static[np.ndarray]
+    jnt_qposadr: Static[np.ndarray]
+    jnt_dofadr: Static[np.ndarray]
+    jnt_bodyid: Static[np.ndarray]
+    jnt_limited: Static[np.ndarray]
+
+    dof_bodyid: Static[np.ndarray]
+    dof_jntid: Static[np.ndarray]
+
+    geom_bodyid: Static[np.ndarray]
+    geom_type: Static[np.ndarray]
+    geom_condim: Static[np.ndarray]
+    geom_priority: Static[np.ndarray]
+
+    site_bodyid: Static[np.ndarray]
+
+    actuator_trntype: Static[np.ndarray]
+    actuator_gaintype: Static[np.ndarray]
+    actuator_biastype: Static[np.ndarray]
+    actuator_trnid: Static[np.ndarray]  # (nu, 2)
+    actuator_ctrllimited: Static[np.ndarray]
+    actuator_forcelimited: Static[np.ndarray]
+
+    # constraint layout
+    nefc: Static[int]
+    nlimit: Static[int]
+    limit_jntid: Static[np.ndarray]  # (nlimit,) joint ids with limits
+    efc_type: Static[np.ndarray]  # (nefc,)
+    pairs: PairTable
+
+    # names
+    body_names: Static[tuple]
+    joint_names: Static[tuple]
+    geom_names: Static[tuple]
+    site_names: Static[tuple]
+    actuator_names: Static[tuple]
+
+    # ----- traced physical parameters (jnp; DR-able) -----
+    qpos0: jax.Array
+    qpos_spring: jax.Array
+    body_pos: jax.Array
+    body_quat: jax.Array
+    body_ipos: jax.Array
+    body_iquat: jax.Array
+    body_mass: jax.Array
+    body_inertia: jax.Array
+    body_invweight0: jax.Array
+    jnt_axis: jax.Array
+    jnt_pos: jax.Array
+    jnt_range: jax.Array
+    jnt_solref: jax.Array
+    jnt_solimp: jax.Array
+    jnt_stiffness: jax.Array
+    jnt_margin: jax.Array
+    dof_armature: jax.Array
+    dof_damping: jax.Array
+    dof_frictionloss: jax.Array
+    dof_invweight0: jax.Array
+    dof_solref: jax.Array
+    dof_solimp: jax.Array
+    geom_pos: jax.Array
+    geom_quat: jax.Array
+    geom_size: jax.Array
+    geom_friction: jax.Array
+    geom_solref: jax.Array
+    geom_solimp: jax.Array
+    geom_solmix: jax.Array
+    geom_margin: jax.Array
+    geom_gap: jax.Array
+    site_pos: jax.Array
+    site_quat: jax.Array
+    actuator_gainprm: jax.Array
+    actuator_biasprm: jax.Array
+    actuator_ctrlrange: jax.Array
+    actuator_forcerange: jax.Array
+    actuator_gear: jax.Array
+
+    opt: Option
+
+
+def _names(mj: mujoco.MjModel, objtype, n) -> tuple:
+    return tuple(
+        mujoco.mj_id2name(mj, objtype, i) or f"_{i}" for i in range(n)
+    )
+
+
+def put_model(mj: mujoco.MjModel, dtype: Any = jnp.float32) -> Model:
+    """Convert a compiled mujoco.MjModel into the JAX Model pytree.
+
+    Replaces the reference's mjwarp.put_model host->device upload
+    (reference src/mjlab/sim/sim.py:139-149) — here the 'upload' is just
+    array conversion; device placement happens at first jit call.
+    """
+    from mjlab_tpu.phys.collision import make_pair_table
+
+    if mj.ntendon or mj.neq:
+        raise NotImplementedError("tendons/equality constraints not yet supported")
+    if np.any(mj.actuator_actnum > 0) if hasattr(mj, "actuator_actnum") else mj.na:
+        raise NotImplementedError("actuator activation dynamics not yet supported")
+    unsupported_jnt = set(mj.jnt_type.tolist()) - {JNT_FREE, JNT_BALL, JNT_SLIDE, JNT_HINGE}
+    if unsupported_jnt:
+        raise NotImplementedError(f"joint types {unsupported_jnt}")
+
+    def f(x):
+        return jnp.asarray(np.asarray(x), dtype=dtype)
+
+    opt = Option(
+        timestep=f(mj.opt.timestep),
+        gravity=f(mj.opt.gravity),
+        impratio=f(mj.opt.impratio),
+        integrator=int(mj.opt.integrator),
+        cone=int(mj.opt.cone),
+        iterations=int(mj.opt.iterations),
+        ls_iterations=int(mj.opt.ls_iterations),
+        tolerance=float(mj.opt.tolerance),
+        ls_tolerance=float(mj.opt.ls_tolerance),
+        disableflags=int(mj.opt.disableflags),
+    )
+
+    pairs = make_pair_table(mj)
+
+    # --- constraint row layout (static) ---
+    # order: [dof friction rows (nv)] [joint limit rows] [contact rows]
+    limit_jntid = np.nonzero(mj.jnt_limited)[0].astype(np.int32)
+    nlimit = len(limit_jntid)
+    efc_types = [np.full(mj.nv, EFC_FRICTION_DOF, np.int32),
+                 np.full(nlimit, EFC_LIMIT_JOINT, np.int32)]
+    con_efcadr = np.zeros(pairs.ncon, np.int32)
+    adr = mj.nv + nlimit
+    pyramidal = int(mj.opt.cone) == CONE_PYRAMIDAL
+    con_rows = []
+    for c in range(pairs.ncon):
+        dim = int(pairs.con_dim[c])
+        nrows = (2 * (dim - 1) if dim > 1 else 1) if pyramidal else dim
+        con_efcadr[c] = adr
+        adr += nrows
+        con_rows.append(np.full(nrows, EFC_CONTACT, np.int32))
+    efc_type = np.concatenate(efc_types + con_rows) if (con_rows or efc_types) else np.zeros(0, np.int32)
+    nefc = int(adr)
+    pairs = pairs.replace(con_efcadr=con_efcadr)
+
+    return Model(
+        nq=mj.nq, nv=mj.nv, nu=mj.nu, nbody=mj.nbody, njnt=mj.njnt,
+        ngeom=mj.ngeom, nsite=mj.nsite, nmocap=mj.nmocap,
+        body_parentid=mj.body_parentid.astype(np.int32),
+        body_rootid=mj.body_rootid.astype(np.int32),
+        body_jntadr=mj.body_jntadr.astype(np.int32),
+        body_jntnum=mj.body_jntnum.astype(np.int32),
+        body_dofadr=mj.body_dofadr.astype(np.int32),
+        body_dofnum=mj.body_dofnum.astype(np.int32),
+        body_mocapid=mj.body_mocapid.astype(np.int32),
+        jnt_type=mj.jnt_type.astype(np.int32),
+        jnt_qposadr=mj.jnt_qposadr.astype(np.int32),
+        jnt_dofadr=mj.jnt_dofadr.astype(np.int32),
+        jnt_bodyid=mj.jnt_bodyid.astype(np.int32),
+        jnt_limited=mj.jnt_limited.astype(np.int32),
+        dof_bodyid=mj.dof_bodyid.astype(np.int32),
+        dof_jntid=mj.dof_jntid.astype(np.int32),
+        geom_bodyid=mj.geom_bodyid.astype(np.int32),
+        geom_type=mj.geom_type.astype(np.int32),
+        geom_condim=mj.geom_condim.astype(np.int32),
+        geom_priority=mj.geom_priority.astype(np.int32),
+        site_bodyid=mj.site_bodyid.astype(np.int32),
+        actuator_trntype=mj.actuator_trntype.astype(np.int32),
+        actuator_gaintype=mj.actuator_gaintype.astype(np.int32),
+        actuator_biastype=mj.actuator_biastype.astype(np.int32),
+        actuator_trnid=mj.actuator_trnid.astype(np.int32).reshape(mj.nu, 2),
+        actuator_ctrllimited=mj.actuator_ctrllimited.astype(np.int32),
+        actuator_forcelimited=mj.actuator_forcelimited.astype(np.int32),
+        nefc=nefc,
+        nlimit=nlimit,
+        limit_jntid=limit_jntid,
+        efc_type=efc_type,
+        pairs=pairs,
+        body_names=_names(mj, mujoco.mjtObj.mjOBJ_BODY, mj.nbody),
+        joint_names=_names(mj, mujoco.mjtObj.mjOBJ_JOINT, mj.njnt),
+        geom_names=_names(mj, mujoco.mjtObj.mjOBJ_GEOM, mj.ngeom),
+        site_names=_names(mj, mujoco.mjtObj.mjOBJ_SITE, mj.nsite),
+        actuator_names=_names(mj, mujoco.mjtObj.mjOBJ_ACTUATOR, mj.nu),
+        qpos0=f(mj.qpos0),
+        qpos_spring=f(mj.qpos_spring),
+        body_pos=f(mj.body_pos),
+        body_quat=f(mj.body_quat),
+        body_ipos=f(mj.body_ipos),
+        body_iquat=f(mj.body_iquat),
+        body_mass=f(mj.body_mass),
+        body_inertia=f(mj.body_inertia),
+        body_invweight0=f(mj.body_invweight0),
+        jnt_axis=f(mj.jnt_axis),
+        jnt_pos=f(mj.jnt_pos),
+        jnt_range=f(mj.jnt_range),
+        jnt_solref=f(mj.jnt_solref),
+        jnt_solimp=f(mj.jnt_solimp),
+        jnt_stiffness=f(mj.jnt_stiffness),
+        jnt_margin=f(mj.jnt_margin),
+        dof_armature=f(mj.dof_armature),
+        dof_damping=f(mj.dof_damping),
+        dof_frictionloss=f(mj.dof_frictionloss),
+        dof_invweight0=f(mj.dof_invweight0),
+        dof_solref=f(mj.dof_solref),
+        dof_solimp=f(mj.dof_solimp),
+        geom_pos=f(mj.geom_pos),
+        geom_quat=f(mj.geom_quat),
+        geom_size=f(mj.geom_size),
+        geom_friction=f(mj.geom_friction),
+        geom_solref=f(mj.geom_solref),
+        geom_solimp=f(mj.geom_solimp),
+        geom_solmix=f(mj.geom_solmix),
+        geom_margin=f(mj.geom_margin),
+        geom_gap=f(mj.geom_gap),
+        site_pos=f(mj.site_pos),
+        site_quat=f(mj.site_quat),
+        actuator_gainprm=f(mj.actuator_gainprm),
+        actuator_biasprm=f(mj.actuator_biasprm),
+        actuator_ctrlrange=f(mj.actuator_ctrlrange),
+        actuator_forcerange=f(mj.actuator_forcerange),
+        actuator_gear=f(mj.actuator_gear),
+        opt=opt,
+    )

@@ -1,0 +1,269 @@
+"""Smooth (unconstrained) dynamics: mass matrix, bias forces, passive
+forces, actuation and transmission. mj_crb / mj_rne / mj_passive /
+mj_transmission / mj_fwdActuation semantics, dense and batch-friendly.
+
+The mass matrix uses the Jacobian form of CRBA: with per-body spatial
+inertias I_b (6x6, c-frame) and the dof->body ancestor mask W,
+  M = sum_b (W_b * cdof)^T I_b (W_b * cdof)
+which is a handful of small einsums — ideal for the MXU instead of the
+sparse tree recursion MuJoCo uses on CPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjlab_tpu.phys import math
+from mjlab_tpu.phys.model import (
+    JNT_BALL,
+    JNT_FREE,
+    JNT_HINGE,
+    JNT_SLIDE,
+    Model,
+    DSBL_GRAVITY,
+)
+from mjlab_tpu.phys.data import Data
+
+_ancestor_mask_cache: dict[int, np.ndarray] = {}
+
+
+def ancestor_dof_mask(m: Model) -> np.ndarray:
+    """W[b, i] = 1 if dof i is on the chain from world to body b. Host-side,
+    cached by model structure identity."""
+    key = id(m.body_parentid)
+    if key in _ancestor_mask_cache:
+        return _ancestor_mask_cache[key]
+    W = np.zeros((m.nbody, m.nv), np.float64)
+    for b in range(1, m.nbody):
+        pid = int(m.body_parentid[b])
+        W[b] = W[pid]
+        adr, num = int(m.body_dofadr[b]), int(m.body_dofnum[b])
+        W[b, adr : adr + num] = 1.0
+    _ancestor_mask_cache[key] = W
+    return W
+
+
+def crb(m: Model, d: Data) -> Data:
+    """Dense joint-space inertia matrix qM and its Cholesky factor qLD."""
+    W = jnp.asarray(ancestor_dof_mask(m), d.qpos.dtype)  # (nbody, nv)
+    # per-body masked jacobian J_b = W_b * cdof : (nbody, nv, 6)
+    J = W[:, :, None] * d.cdof[None, :, :]
+    IJ = jnp.einsum("bkl,bjl->bjk", d.cinert, J)  # (nbody, nv, 6)
+    qM = jnp.einsum("bik,bjk->ij", J, IJ)
+    qM = qM + jnp.diag(m.dof_armature)
+    qLD = jnp.linalg.cholesky(qM)
+    return d.replace(qM=qM, qLD=qLD)
+
+
+def solve_m(d: Data, x: jax.Array) -> jax.Array:
+    """Solve M y = x using the cached Cholesky factor."""
+    y = jax.scipy.linalg.solve_triangular(d.qLD, x, lower=True)
+    return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+
+
+def com_vel(m: Model, d: Data) -> Data:
+    """Body spatial velocities (c-frame) and cdof time derivatives."""
+    dtype = d.qpos.dtype
+    cvel = [jnp.zeros(6, dtype)]
+    cdof_dot = [None] * m.nv
+
+    for b in range(1, m.nbody):
+        pid = int(m.body_parentid[b])
+        v = cvel[pid]
+        jadr, jnum = int(m.body_jntadr[b]), int(m.body_jntnum[b])
+        for k in range(jnum):
+            j = jadr + k
+            jtype = int(m.jnt_type[j])
+            vadr = int(m.jnt_dofadr[j])
+            ndof = {JNT_FREE: 6, JNT_BALL: 3, JNT_SLIDE: 1, JNT_HINGE: 1}[jtype]
+            if jtype == JNT_FREE:
+                # translation dofs: derivative zero (world-aligned)
+                for i in range(3):
+                    cdof_dot[vadr + i] = jnp.zeros(6, dtype)
+                v = v + d.cdof[vadr : vadr + 3].T @ d.qvel[vadr : vadr + 3]
+                # rotation dofs: derivative wrt velocity accumulated so far
+                for i in range(3, 6):
+                    cdof_dot[vadr + i] = math.motion_cross(v, d.cdof[vadr + i])
+                v = v + d.cdof[vadr + 3 : vadr + 6].T @ d.qvel[vadr + 3 : vadr + 6]
+            elif jtype == JNT_BALL:
+                for i in range(3):
+                    cdof_dot[vadr + i] = math.motion_cross(v, d.cdof[vadr + i])
+                v = v + d.cdof[vadr : vadr + 3].T @ d.qvel[vadr : vadr + 3]
+            else:
+                cdof_dot[vadr] = math.motion_cross(v, d.cdof[vadr])
+                v = v + d.cdof[vadr] * d.qvel[vadr]
+        cvel.append(v)
+
+    cdof_dot = [c if c is not None else jnp.zeros(6, dtype) for c in cdof_dot]
+    return d.replace(
+        cvel=jnp.stack(cvel),
+        cdof_dot=jnp.stack(cdof_dot) if m.nv else jnp.zeros((0, 6), dtype),
+    )
+
+
+def rne(m: Model, d: Data) -> Data:
+    """Bias force qfrc_bias = C(qpos, qvel) via recursive Newton-Euler
+    (flg_acc=0: gravity in base acceleration, no qacc term)."""
+    dtype = d.qpos.dtype
+    gravity = jnp.where(
+        m.opt.disableflags & DSBL_GRAVITY, jnp.zeros(3, dtype), m.opt.gravity
+    )
+    cacc0 = jnp.concatenate([jnp.zeros(3, dtype), -gravity])
+
+    cacc = [cacc0]
+    for b in range(1, m.nbody):
+        pid = int(m.body_parentid[b])
+        adr, num = int(m.body_dofadr[b]), int(m.body_dofnum[b])
+        a = cacc[pid]
+        if num:
+            a = a + d.cdof_dot[adr : adr + num].T @ d.qvel[adr : adr + num]
+        cacc.append(a)
+    cacc = jnp.stack(cacc)
+
+    Iv = jnp.einsum("bij,bj->bi", d.cinert, d.cvel)
+    cfrc_body = jnp.einsum("bij,bj->bi", d.cinert, cacc) + math.force_cross(
+        d.cvel, Iv
+    )
+
+    # backward accumulation
+    cfrc = list(cfrc_body)
+    for b in range(m.nbody - 1, 0, -1):
+        pid = int(m.body_parentid[b])
+        cfrc[pid] = cfrc[pid] + cfrc[b]
+
+    qfrc_bias = jnp.zeros(m.nv, dtype)
+    for b in range(1, m.nbody):
+        adr, num = int(m.body_dofadr[b]), int(m.body_dofnum[b])
+        if num:
+            qfrc_bias = qfrc_bias.at[adr : adr + num].set(
+                d.cdof[adr : adr + num] @ cfrc[b]
+            )
+    return d.replace(qfrc_bias=qfrc_bias)
+
+
+def passive(m: Model, d: Data) -> Data:
+    """Passive spring/damper forces (fluid forces unsupported)."""
+    dtype = d.qpos.dtype
+    qfrc = -m.dof_damping * d.qvel
+
+    # joint springs
+    if m.njnt:
+        spring = jnp.zeros(m.nv, dtype)
+        for j in range(m.njnt):
+            jtype = int(m.jnt_type[j])
+            qadr = int(m.jnt_qposadr[j])
+            vadr = int(m.jnt_dofadr[j])
+            k = m.jnt_stiffness[j]
+            if jtype in (JNT_HINGE, JNT_SLIDE):
+                spring = spring.at[vadr].set(
+                    -k * (d.qpos[qadr] - m.qpos_spring[qadr])
+                )
+            elif jtype == JNT_FREE:
+                spring = spring.at[vadr : vadr + 3].set(
+                    -k * (d.qpos[qadr : qadr + 3] - m.qpos_spring[qadr : qadr + 3])
+                )
+                dif = math.quat_sub(
+                    d.qpos[qadr + 3 : qadr + 7], m.qpos_spring[qadr + 3 : qadr + 7]
+                )
+                spring = spring.at[vadr + 3 : vadr + 6].set(-k * dif)
+            elif jtype == JNT_BALL:
+                dif = math.quat_sub(
+                    d.qpos[qadr : qadr + 4], m.qpos_spring[qadr : qadr + 4]
+                )
+                spring = spring.at[vadr : vadr + 3].set(-k * dif)
+        qfrc = qfrc + spring
+    return d.replace(qfrc_passive=qfrc)
+
+
+def _moment(m: Model) -> np.ndarray:
+    """Static (nu, nv) selector: joint-transmission moment / gear pattern.
+
+    Only trntype=JOINT on hinge/slide joints is supported (all robots in the
+    asset zoo use this)."""
+    sel = np.zeros((m.nu, m.nv), np.float64)
+    for u in range(m.nu):
+        if int(m.actuator_trntype[u]) != 0:  # mjTRN_JOINT
+            raise NotImplementedError("only joint transmissions supported")
+        j = int(m.actuator_trnid[u, 0])
+        if int(m.jnt_type[j]) not in (JNT_HINGE, JNT_SLIDE):
+            raise NotImplementedError("actuated free/ball joints unsupported")
+        sel[u, int(m.jnt_dofadr[j])] = 1.0
+    return sel
+
+
+def transmission(m: Model, d: Data) -> Data:
+    """Actuator lengths and moment matrix (dense nu x nv)."""
+    if m.nu == 0:
+        return d
+    sel = jnp.asarray(_moment(m), d.qpos.dtype)
+    gear = m.actuator_gear[:, 0]
+    moment = sel * gear[:, None]
+    qadr = np.array(
+        [int(m.jnt_qposadr[int(m.actuator_trnid[u, 0])]) for u in range(m.nu)],
+        np.int32,
+    )
+    length = d.qpos[qadr] * gear
+    return d.replace(actuator_moment=moment, actuator_length=length)
+
+
+def fwd_actuation(m: Model, d: Data) -> Data:
+    """Actuator forces: gain*ctrl + bias, clamped, mapped through moments."""
+    if m.nu == 0:
+        return d.replace(qfrc_actuator=jnp.zeros(m.nv, d.qpos.dtype))
+    ctrl = d.ctrl
+    limited = jnp.asarray(m.actuator_ctrllimited.astype(bool))
+    ctrl = jnp.where(
+        limited,
+        jnp.clip(ctrl, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]),
+        ctrl,
+    )
+    velocity = d.actuator_moment @ d.qvel
+
+    # gaintype: 0=fixed, 1=affine (gainprm[0] + [1]*len + [2]*vel)
+    gaintype = m.actuator_gaintype
+    gain_fixed = m.actuator_gainprm[:, 0]
+    gain_affine = (
+        m.actuator_gainprm[:, 0]
+        + m.actuator_gainprm[:, 1] * d.actuator_length
+        + m.actuator_gainprm[:, 2] * velocity
+    )
+    gain = jnp.where(jnp.asarray(gaintype == 1), gain_affine, gain_fixed)
+
+    # biastype: 0=none, 1=affine
+    bias_affine = (
+        m.actuator_biasprm[:, 0]
+        + m.actuator_biasprm[:, 1] * d.actuator_length
+        + m.actuator_biasprm[:, 2] * velocity
+    )
+    bias = jnp.where(jnp.asarray(m.actuator_biastype == 1), bias_affine, 0.0)
+
+    force = gain * ctrl + bias
+    flimited = jnp.asarray(m.actuator_forcelimited.astype(bool))
+    force = jnp.where(
+        flimited,
+        jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1]),
+        force,
+    )
+    qfrc = d.actuator_moment.T @ force
+    return d.replace(
+        actuator_velocity=velocity, actuator_force=force, qfrc_actuator=qfrc
+    )
+
+
+def xfrc_accumulate(m: Model, d: Data) -> jax.Array:
+    """Project xfrc_applied (world force/torque at body CoM) into qfrc."""
+    dtype = d.qpos.dtype
+    if m.nbody == 1:
+        return jnp.zeros(m.nv, dtype)
+    W = jnp.asarray(ancestor_dof_mask(m), dtype)  # (nbody, nv)
+    O = d.subtree_com[m.body_rootid]  # (nbody, 3) c-frame origins
+    torque = d.xfrc_applied[:, 3:]
+    force = d.xfrc_applied[:, :3]
+    # spatial force at body com -> re-expressed at c-frame origin
+    offset = d.xipos - O
+    ang = torque + jnp.cross(offset, force)
+    s = jnp.concatenate([ang, force], axis=-1)  # (nbody, 6)
+    # qfrc_i = sum_b W[b,i] cdof_i . s_b
+    return jnp.einsum("bi,ik,bk->i", W, d.cdof, s)
