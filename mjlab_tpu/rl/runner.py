@@ -1,0 +1,143 @@
+"""On-policy runner: the training loop around the fused PPO iteration.
+
+Equivalent of rsl-rl's OnPolicyRunner as used by the reference
+(reference scripts/train.py:148-169): per iteration the ENTIRE
+rollout+update executes as one jitted XLA program; the host loop only
+logs and checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjlab_tpu.rl.config import RslRlOnPolicyRunnerCfg
+from mjlab_tpu.rl.ppo import PPO, PPOState
+
+
+class OnPolicyRunner:
+    def __init__(self, env, cfg: RslRlOnPolicyRunnerCfg, log_dir=None, device=None):
+        self.env = env.unwrapped if hasattr(env, "unwrapped") else env
+        self.cfg = cfg
+        self.log_dir = log_dir
+        obs_dims = {
+            g: self.env.observation_manager.group_obs_dim(g)
+            for g in self.env.observation_manager.active_terms
+        }
+        self.ppo = PPO(
+            cfg,
+            env_step=self.env._traced_step,
+            num_envs=self.env.num_envs,
+            num_actions=self.env.action_manager.total_action_dim,
+            actor_obs_dim=obs_dims["policy"],
+            critic_obs_dim=obs_dims.get("critic", obs_dims["policy"]),
+        )
+        self.ppo_state: PPOState = self.ppo.init_state(
+            jax.random.PRNGKey(cfg.seed)
+        )
+        self.iteration = 0
+        self._learn_jit = None
+        self._writer = None
+
+    # -- logging --
+
+    def _log(self, metrics: dict, steps_per_sec: float):
+        it = self.iteration
+        if self.cfg.logger == "wandb" and self._writer is None:
+            try:
+                import wandb
+
+                wandb.init(
+                    project=self.cfg.wandb_project,
+                    name=self.cfg.run_name or None,
+                    dir=self.log_dir,
+                    tags=list(self.cfg.wandb_tags),
+                )
+                self._writer = "wandb"
+            except Exception:
+                self._writer = "stdout"
+        if self._writer == "wandb":
+            import wandb
+
+            wandb.log({**metrics, "perf/steps_per_sec": steps_per_sec}, step=it)
+        else:
+            keys = [
+                "train/mean_reward", "loss/surrogate", "loss/value",
+                "train/kl", "train/lr", "Episode/length",
+            ]
+            parts = [f"it={it}"]
+            for k in keys:
+                if k in metrics:
+                    parts.append(f"{k.split('/')[-1]}={float(metrics[k]):.4f}")
+            parts.append(f"sps={steps_per_sec:,.0f}")
+            print("  ".join(parts), flush=True)
+
+    # -- training --
+
+    def learn(self, num_learning_iterations: int | None = None):
+        n_iter = num_learning_iterations or self.cfg.max_iterations
+        env = self.env
+        obs, _ = env.reset()
+        env_state = env._state
+
+        if self._learn_jit is None:
+            self._learn_jit = jax.jit(self.ppo.learn_iteration, donate_argnums=0)
+
+        carry = (self.ppo_state, env_state, obs)
+        steps_per_iter = self.cfg.num_steps_per_env * env.num_envs
+        for _ in range(n_iter):
+            t0 = time.perf_counter()
+            carry, metrics = self._learn_jit(carry)
+            jax.block_until_ready(carry[0].params)
+            dt = time.perf_counter() - t0
+            self.iteration += 1
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            self._log(metrics, steps_per_iter / dt)
+            if self.log_dir and self.iteration % self.cfg.save_interval == 0:
+                self.save(
+                    os.path.join(self.log_dir, f"model_{self.iteration}.ckpt")
+                )
+        self.ppo_state, env._state, _ = carry
+        env.ctx.load(env._state)
+        if self.log_dir:
+            self.save(os.path.join(self.log_dir, f"model_{self.iteration}.ckpt"))
+
+    # -- inference / checkpointing --
+
+    def get_inference_policy(self, device=None):
+        st = self.ppo_state
+
+        @jax.jit
+        def policy(obs):
+            return self.ppo.act_inference(st, obs)
+
+        return policy
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {
+            "params": jax.device_get(self.ppo_state.params),
+            "actor_norm": jax.device_get(self.ppo_state.actor_norm),
+            "critic_norm": jax.device_get(self.ppo_state.critic_norm),
+            "iteration": self.iteration,
+            "cfg": self.cfg,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load(self, path: str, load_optimizer: bool = True):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.ppo_state = self.ppo_state.replace(
+            params=payload["params"],
+            actor_norm=payload["actor_norm"],
+            critic_norm=payload["critic_norm"],
+        )
+        self.iteration = payload.get("iteration", 0)
+        return payload

@@ -1,0 +1,72 @@
+"""Play CLI: roll out a zero / random / trained policy
+(reference src/mjlab/scripts/play.py). Headless by default; viser viewer
+integration is a follow-up."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_play(
+    task: str,
+    agent: str = "zero",
+    checkpoint_file: str | None = None,
+    num_envs: int = 1,
+    num_steps: int = 200,
+):
+    import mjlab_tpu.tasks as tasks
+    from mjlab_tpu.envs import ManagerBasedRlEnv
+    from mjlab_tpu.rl import OnPolicyRunner, RslRlVecEnvWrapper
+
+    env_cfg = tasks.load_env_cfg(task, play=True)
+    env_cfg.scene.num_envs = num_envs
+    env = ManagerBasedRlEnv(env_cfg)
+    wrapped = RslRlVecEnvWrapper(env)
+    A = env.action_manager.total_action_dim
+
+    if agent == "trained":
+        agent_cfg = tasks.load_rl_cfg(task)
+        runner = OnPolicyRunner(wrapped, agent_cfg)
+        assert checkpoint_file, "--checkpoint-file required for trained agent"
+        runner.load(checkpoint_file)
+        policy = runner.get_inference_policy()
+    elif agent == "random":
+        rng = [jax.random.PRNGKey(0)]
+
+        def policy(obs):
+            rng[0], k = jax.random.split(rng[0])
+            return jax.random.uniform(k, (num_envs, A), minval=-1, maxval=1)
+    else:
+
+        def policy(obs):
+            return jnp.zeros((num_envs, A))
+
+    obs = wrapped.get_observations()
+    for t in range(num_steps):
+        action = policy(obs)
+        obs, reward, dones, extras = wrapped.step(action)
+        if t % 50 == 0:
+            print(
+                f"t={t} reward={np.asarray(reward).mean():.4f} "
+                f"dones={int(np.asarray(dones).sum())}"
+            )
+    print("done")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("task")
+    p.add_argument("--agent", choices=["zero", "random", "trained"], default="zero")
+    p.add_argument("--checkpoint-file", default=None)
+    p.add_argument("--num-envs", type=int, default=1)
+    p.add_argument("--num-steps", type=int, default=200)
+    a = p.parse_args()
+    run_play(a.task, a.agent, a.checkpoint_file, a.num_envs, a.num_steps)
+
+
+if __name__ == "__main__":
+    main()

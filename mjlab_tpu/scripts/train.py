@@ -1,0 +1,124 @@
+"""Train CLI (reference src/mjlab/scripts/train.py).
+
+Usage:
+  python -m mjlab_tpu.scripts.train Mjlab-Velocity-Flat-Unitree-G1 \
+      --env.scene.num-envs 4096 --max-iterations 1000
+
+Multi-host TPU: run the same program on every host (standard JAX SPMD);
+envs shard across all chips over the 'data' mesh axis (see
+mjlab_tpu/parallel/), gradients sync via XLA collectives — no external
+launcher (the torchrunx/NCCL path in the reference is replaced by
+jax.distributed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+from dataclasses import fields, is_dataclass
+
+import numpy as np
+
+
+def _apply_overrides(obj, overrides: list[str]):
+    """Apply --a.b.c=value style overrides onto nested dataclasses/dicts."""
+    for ov in overrides:
+        if "=" in ov:
+            path, value = ov.split("=", 1)
+        else:
+            raise ValueError(f"override '{ov}' must be key=value")
+        path = path.lstrip("-").replace("-", "_")
+        parts = path.split(".")
+        tgt = obj
+        for p in parts[:-1]:
+            tgt = tgt[p] if isinstance(tgt, dict) else getattr(tgt, p)
+        leaf = parts[-1]
+        cur = tgt[leaf] if isinstance(tgt, dict) else getattr(tgt, leaf)
+        typ = type(cur) if cur is not None else str
+        if typ is bool:
+            new = value.lower() in ("1", "true", "yes")
+        elif cur is None:
+            new = value
+        else:
+            new = typ(value)
+        if isinstance(tgt, dict):
+            tgt[leaf] = new
+        else:
+            setattr(tgt, leaf, new)
+
+
+def run_train(
+    task: str,
+    num_envs: int | None = None,
+    max_iterations: int | None = None,
+    seed: int | None = None,
+    log_dir: str | None = None,
+    env_overrides: list[str] | None = None,
+    agent_overrides: list[str] | None = None,
+    distributed: bool = False,
+):
+    if distributed:
+        import jax
+
+        jax.distributed.initialize()
+
+    import mjlab_tpu.tasks as tasks
+    from mjlab_tpu.envs import ManagerBasedRlEnv
+    from mjlab_tpu.rl import OnPolicyRunner, RslRlVecEnvWrapper
+
+    env_cfg = tasks.load_env_cfg(task)
+    agent_cfg = tasks.load_rl_cfg(task)
+    runner_cls = tasks.load_runner_cls(task) or OnPolicyRunner
+
+    if num_envs:
+        env_cfg.scene.num_envs = num_envs
+    if seed is not None:
+        env_cfg.seed = seed
+        agent_cfg.seed = seed
+    if max_iterations:
+        agent_cfg.max_iterations = max_iterations
+    _apply_overrides(env_cfg, env_overrides or [])
+    _apply_overrides(agent_cfg, agent_overrides or [])
+
+    if log_dir is None:
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        log_dir = os.path.join("logs", agent_cfg.experiment_name, stamp)
+    os.makedirs(log_dir, exist_ok=True)
+
+    env = ManagerBasedRlEnv(env_cfg)
+    wrapped = RslRlVecEnvWrapper(env, clip_actions=agent_cfg.clip_actions)
+    runner = runner_cls(wrapped, agent_cfg, log_dir=log_dir)
+    runner.learn(agent_cfg.max_iterations)
+    return runner
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train an mjlab_tpu task")
+    parser.add_argument("task")
+    parser.add_argument("--num-envs", type=int, default=None)
+    parser.add_argument("--max-iterations", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--log-dir", default=None)
+    parser.add_argument("--distributed", action="store_true")
+    parser.add_argument(
+        "--env", action="append", default=[], help="env cfg override key=value"
+    )
+    parser.add_argument(
+        "--agent", action="append", default=[], help="agent cfg override key=value"
+    )
+    args = parser.parse_args()
+    run_train(
+        args.task,
+        num_envs=args.num_envs,
+        max_iterations=args.max_iterations,
+        seed=args.seed,
+        log_dir=args.log_dir,
+        env_overrides=args.env,
+        agent_overrides=args.agent,
+        distributed=args.distributed,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Unitree G1 velocity env configurations
+(reference src/mjlab/tasks/velocity/config/g1/env_cfgs.py)."""
+
+from __future__ import annotations
+
+from mjlab_tpu.asset_zoo.robots.unitree_g1.g1_constants import (
+    G1_ACTION_SCALE,
+    get_g1_robot_cfg,
+)
+from mjlab_tpu.envs.manager_based_rl_env import ManagerBasedRlEnvCfg
+from mjlab_tpu.managers.manager_term_config import RewardTermCfg
+from mjlab_tpu.sensor.contact_sensor import ContactMatch, ContactSensorCfg
+from mjlab_tpu.tasks.velocity import mdp
+from mjlab_tpu.tasks.velocity.velocity_env_cfg import make_velocity_env_cfg
+
+_SITE_NAMES = ("left_foot", "right_foot")
+_FOOT_GEOMS = tuple(
+    f"{side}_foot{i}_collision" for side in ("left", "right") for i in range(1, 8)
+)
+
+
+def unitree_g1_flat_env_cfg(play: bool = False) -> ManagerBasedRlEnvCfg:
+    cfg = make_velocity_env_cfg()
+    cfg.scene.entities = {"robot": get_g1_robot_cfg()}
+
+    feet_ground_cfg = ContactSensorCfg(
+        name="feet_ground_contact",
+        primary=ContactMatch(
+            mode="subtree",
+            pattern=r"^(left_ankle_roll_link|right_ankle_roll_link)$",
+            entity="robot",
+        ),
+        secondary=ContactMatch(mode="body", pattern="world"),
+        fields=("found", "force"),
+        reduce="netforce",
+        num_slots=1,
+        track_air_time=True,
+    )
+    self_collision_cfg = ContactSensorCfg(
+        name="self_collision",
+        primary=ContactMatch(mode="subtree", pattern="pelvis", entity="robot"),
+        secondary=ContactMatch(mode="subtree", pattern="pelvis", entity="robot"),
+        fields=("found",),
+        reduce="none",
+        num_slots=1,
+    )
+    cfg.scene.sensors = (feet_ground_cfg, self_collision_cfg)
+
+    cfg.actions["joint_pos"].scale = G1_ACTION_SCALE
+
+    cfg.observations["critic"].terms["foot_height"].params[
+        "asset_cfg"
+    ].site_names = _SITE_NAMES
+    cfg.events["foot_friction"].params["asset_cfg"].geom_names = _FOOT_GEOMS
+
+    cfg.rewards["pose"].params["std_standing"] = {".*": 0.05}
+    cfg.rewards["pose"].params["std_walking"] = {
+        r".*hip_pitch.*": 0.3,
+        r".*hip_roll.*": 0.15,
+        r".*hip_yaw.*": 0.15,
+        r".*knee.*": 0.35,
+        r".*ankle_pitch.*": 0.25,
+        r".*ankle_roll.*": 0.1,
+        r".*waist_yaw.*": 0.2,
+        r".*waist_roll.*": 0.08,
+        r".*waist_pitch.*": 0.1,
+        r".*shoulder_pitch.*": 0.15,
+        r".*shoulder_roll.*": 0.15,
+        r".*shoulder_yaw.*": 0.1,
+        r".*elbow.*": 0.15,
+        r".*wrist.*": 0.3,
+    }
+    cfg.rewards["pose"].params["std_running"] = {
+        r".*hip_pitch.*": 0.5,
+        r".*hip_roll.*": 0.2,
+        r".*hip_yaw.*": 0.2,
+        r".*knee.*": 0.6,
+        r".*ankle_pitch.*": 0.35,
+        r".*ankle_roll.*": 0.15,
+        r".*waist_yaw.*": 0.3,
+        r".*waist_roll.*": 0.08,
+        r".*waist_pitch.*": 0.2,
+        r".*shoulder_pitch.*": 0.5,
+        r".*shoulder_roll.*": 0.2,
+        r".*shoulder_yaw.*": 0.15,
+        r".*elbow.*": 0.35,
+        r".*wrist.*": 0.3,
+    }
+
+    cfg.rewards["upright"].params["asset_cfg"].body_names = ("torso_link",)
+    cfg.rewards["body_ang_vel"].params["asset_cfg"].body_names = ("torso_link",)
+    for reward_name in ("foot_clearance", "foot_swing_height", "foot_slip"):
+        cfg.rewards[reward_name].params["asset_cfg"].site_names = _SITE_NAMES
+
+    cfg.rewards["body_ang_vel"].weight = -0.05
+    cfg.rewards["angular_momentum"].weight = -0.02
+    cfg.rewards["air_time"].weight = 0.0
+    cfg.rewards["self_collisions"] = RewardTermCfg(
+        func=mdp.self_collision_cost,
+        weight=-1.0,
+        params={"sensor_name": "self_collision"},
+    )
+
+    if play:
+        cfg.episode_length_s = int(1e9)
+        cfg.observations["policy"].enable_corruption = False
+        cfg.events.pop("push_robot", None)
+
+    return cfg

@@ -26,14 +26,21 @@ from mjlab_tpu.phys.math import (  # noqa: F401
     skew,
 )
 
-# aliases matching the reference naming (lab_api/math.py)
+# aliases matching the reference naming AND argument order (lab_api/math.py:
+# quat_apply(q, v) rotates v by q)
 quat_mul = mul_quat
 quat_conjugate = conj_quat
 quat_inv = conj_quat  # unit quaternions
-quat_apply = rot_vec_quat
-quat_apply_inverse = rot_vec_quat_inv
 quat_from_matrix = mat_to_quat
 matrix_from_quat = quat_to_mat
+
+
+def quat_apply(q, v):
+    return rot_vec_quat(v, q)
+
+
+def quat_apply_inverse(q, v):
+    return rot_vec_quat_inv(v, q)
 
 
 def quat_rotate(q, v):

@@ -1,0 +1,126 @@
+"""MjSpec editing helpers (host-side model compilation).
+
+Equivalents of reference src/mjlab/utils/spec.py: programmatic creation of
+MuJoCo builtin actuators (<motor>/<position>/<velocity>) and the fixed-base
+mocap auto-wrap. All host-only; runs once at scene build time.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import mujoco
+import numpy as np
+
+
+def is_joint_limited(jnt: mujoco.MjsJoint) -> bool:
+    if jnt.limited == mujoco.mjtLimited.mjLIMITED_TRUE:
+        return True
+    if jnt.limited == mujoco.mjtLimited.mjLIMITED_AUTO:
+        return bool(jnt.range[0] < jnt.range[1])
+    return False
+
+
+def _set_joint_props(spec, joint_name, armature, frictionloss):
+    j = spec.joint(joint_name)
+    j.armature = armature
+    j.frictionloss = frictionloss
+
+
+def create_motor_actuator(
+    spec: mujoco.MjSpec,
+    joint_name: str,
+    *,
+    effort_limit: float,
+    gear: float = 1.0,
+    armature: float = 0.0,
+    frictionloss: float = 0.0,
+) -> mujoco.MjsActuator:
+    """Direct-torque <motor> actuator on a joint."""
+    a = spec.add_actuator(name=joint_name, target=joint_name)
+    a.trntype = mujoco.mjtTrn.mjTRN_JOINT
+    a.dyntype = mujoco.mjtDyn.mjDYN_NONE
+    a.gaintype = mujoco.mjtGain.mjGAIN_FIXED
+    a.biastype = mujoco.mjtBias.mjBIAS_NONE
+    a.gear[0] = gear
+    a.forcelimited = True
+    a.forcerange[:] = (-effort_limit, effort_limit)
+    a.ctrllimited = True
+    a.ctrlrange[:] = (-effort_limit, effort_limit)
+    _set_joint_props(spec, joint_name, armature, frictionloss)
+    return a
+
+
+def create_position_actuator(
+    spec: mujoco.MjSpec,
+    joint_name: str,
+    *,
+    stiffness: float,
+    damping: float,
+    effort_limit: float | None = None,
+    armature: float = 0.0,
+    frictionloss: float = 0.0,
+) -> mujoco.MjsActuator:
+    """Affine PD <position> actuator: the PD law lives INSIDE the implicit
+    solver (gainprm kp; biasprm -kp, -kd), which is what makes the builtin
+    position actuator stable at large gains. ctrl is deliberately unlimited
+    so policies can command setpoints beyond the joint range."""
+    a = spec.add_actuator(name=joint_name, target=joint_name)
+    a.trntype = mujoco.mjtTrn.mjTRN_JOINT
+    a.dyntype = mujoco.mjtDyn.mjDYN_NONE
+    a.gaintype = mujoco.mjtGain.mjGAIN_FIXED
+    a.biastype = mujoco.mjtBias.mjBIAS_AFFINE
+    a.gainprm[0] = stiffness
+    a.biasprm[1] = -stiffness
+    a.biasprm[2] = -damping
+    a.ctrllimited = False
+    if effort_limit is not None:
+        a.forcelimited = True
+        a.forcerange[:] = (-effort_limit, effort_limit)
+    else:
+        a.forcelimited = False
+    _set_joint_props(spec, joint_name, armature, frictionloss)
+    return a
+
+
+def create_velocity_actuator(
+    spec: mujoco.MjSpec,
+    joint_name: str,
+    *,
+    damping: float,
+    effort_limit: float | None = None,
+    armature: float = 0.0,
+    frictionloss: float = 0.0,
+) -> mujoco.MjsActuator:
+    a = spec.add_actuator(name=joint_name, target=joint_name)
+    a.trntype = mujoco.mjtTrn.mjTRN_JOINT
+    a.dyntype = mujoco.mjtDyn.mjDYN_NONE
+    a.gaintype = mujoco.mjtGain.mjGAIN_FIXED
+    a.biastype = mujoco.mjtBias.mjBIAS_AFFINE
+    a.gainprm[0] = damping
+    a.biasprm[2] = -damping
+    a.ctrllimited = True
+    if effort_limit is not None:
+        a.forcelimited = True
+        a.forcerange[:] = (-effort_limit, effort_limit)
+    else:
+        a.forcelimited = False
+    _set_joint_props(spec, joint_name, armature, frictionloss)
+    return a
+
+
+def auto_wrap_fixed_base_mocap(
+    spec_fn: Callable[[], mujoco.MjSpec],
+) -> Callable[[], mujoco.MjSpec]:
+    """If the spec's single root body has no joints and mocap is requested
+    implicitly (fixed, non-articulated entity), mark it mocap so its pose can
+    be written each step (reference utils/spec.py:9)."""
+
+    def wrapped() -> mujoco.MjSpec:
+        spec = spec_fn()
+        bodies = [b for b in spec.worldbody.bodies]
+        if len(bodies) == 1 and not spec.joints:
+            bodies[0].mocap = True
+        return spec
+
+    return wrapped
