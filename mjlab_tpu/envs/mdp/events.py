@@ -252,7 +252,7 @@ def randomize_field(
     env,
     env_mask,
     field: str,
-    ranges: tuple,
+    ranges: tuple | dict,
     distribution: Literal["uniform", "log_uniform", "gaussian"] = "uniform",
     operation: Literal["add", "scale", "abs"] = "scale",
     axes: tuple | None = None,
@@ -260,7 +260,9 @@ def randomize_field(
 ):
     """Randomize a per-env model field (reference events.py:292): sample one
     value per (env, element), combine with the DEFAULT field value, write
-    into the env-expanded model."""
+    into the env-expanded model. ``ranges`` may be a (lo, hi) tuple applied
+    to the axes in ``axes`` (or all components), or a dict
+    {component_index: (lo, hi)} with per-component ranges."""
     entity = env.scene[asset_cfg.name]
     ids = _resolve_field_ids(env, entity, field, asset_cfg)
     model = env.ctx.model
@@ -274,15 +276,30 @@ def randomize_field(
     E = env.num_envs
     sub_default = default[ids]  # (n, ...) or (n,)
     shape = (E,) + sub_default.shape
-    sample = _rand(env.ctx.next_key(), distribution, ranges[0], ranges[1], shape)
-    if axes is not None and sub_default.ndim > 1:
-        comp_mask = (
-            jnp.zeros(sub_default.shape[-1], bool)
-            .at[np.asarray(axes, np.int32)]
-            .set(True)
-        )
+
+    if isinstance(ranges, dict):
+        # per-component ranges: {axis: (lo, hi)}
+        ncomp = sub_default.shape[-1]
+        lo = np.zeros(ncomp, np.float32)
+        hi = np.zeros(ncomp, np.float32)
+        comp = np.zeros(ncomp, bool)
+        for a, (l, h) in ranges.items():
+            lo[int(a)], hi[int(a)], comp[int(a)] = l, h, True
+        u = jax.random.uniform(env.ctx.next_key(), shape)
+        sample = lo + u * (hi - lo)
+        comp_mask = jnp.asarray(comp)
     else:
-        comp_mask = None
+        sample = _rand(
+            env.ctx.next_key(), distribution, ranges[0], ranges[1], shape
+        )
+        if axes is not None and sub_default.ndim > 1:
+            comp_mask = (
+                jnp.zeros(sub_default.shape[-1], bool)
+                .at[np.asarray(axes, np.int32)]
+                .set(True)
+            )
+        else:
+            comp_mask = None
 
     if operation == "add":
         new = sub_default[None] + sample

@@ -5,16 +5,25 @@ Static row layout (computed in put_model):
   [0, nv)                 dof friction rows (always allocated; active iff
                           dof_frictionloss > 0 — DR-friendly)
   [nv, nv+nlimit)         joint limit rows (one per limited hinge/slide)
-  [nv+nlimit, nefc)       contact rows (2*(dim-1) per pyramidal contact)
+  [nv+nlimit, nefc)       contact rows: 4 rows per COMPACTED contact slot
+
+Contact compaction (TPU-native nconmax): the narrowphase evaluates every
+candidate pair (cheap vectorized math), but constraint rows are only built
+for the K deepest contacts per env, selected with top_k — the static-shape
+analog of the reference's per-world nconmax allocation (reference
+src/mjlab/sim/sim.py:84-93, default heuristic ~35). Every compacted slot
+carries the uniform pyramidal 4-row layout [n±mu1*t1, n±mu2*t2]; condim-1
+(frictionless) contacts use mu=0 with D/4 per row, which is cost- and
+force-equivalent to MuJoCo's single normal row.
 
 All formulas verified numerically against mujoco.mj_forward row-by-row:
   imp(pos): sigmoid dmin..dmax over |pos|/width with midpoint/power
   b = 2/(dmax*timeconst); k = 1/(dmax^2 timeconst^2 dampratio^2)
   aref = -b*(J qvel) - k*imp*pos
   R = max((1-imp)/imp * diagApprox, 1e-10);  D = 1/R
-  diagApprox: dof rows -> dof_invweight0; limit rows -> dof_invweight0;
-  pyramidal contact rows (all rows of a contact identical) ->
-      2*mu0^2*(1+mu0^2) * (body_invweight0[b1,0]+body_invweight0[b2,0]) / impratio
+  diagApprox: dof/limit rows -> dof_invweight0; pyramidal contact rows ->
+      2*mu0^2*(1+mu0^2) * (bw1_t + bw2_t) / impratio (all rows identical);
+      frictionless contact rows -> (bw1_t + bw2_t)
 """
 
 from __future__ import annotations
@@ -64,7 +73,6 @@ def kb(solref: jax.Array, solimp: jax.Array):
 
 
 def _efc_kbid(solref, solimp, pos, diag_approx):
-    """aref coefficients and D for a set of rows."""
     imp = impedance(solimp, pos)
     k, b = kb(solref, solimp)
     R = jnp.maximum((1.0 - imp) / imp * diag_approx, _MINVAL)
@@ -73,7 +81,7 @@ def _efc_kbid(solref, solimp, pos, diag_approx):
 
 
 def make_constraint(m: Model, d: Data) -> Data:
-    """Fill efc_J/D/aref/pos/frictionloss/active."""
+    """Fill efc_J/D/aref/pos/frictionloss/active (+ contact selection)."""
     dtype = d.qpos.dtype
     nv, nefc = m.nv, m.nefc
     J = jnp.zeros((nefc, nv), dtype)
@@ -94,98 +102,122 @@ def make_constraint(m: Model, d: Data) -> Data:
         fl_out = fl_out.at[:nv].set(m.dof_frictionloss)
         active = active.at[:nv].set(m.dof_frictionloss > 0)
 
-    # ---- joint limit rows ----
-    for i, j in enumerate(m.limit_jntid.tolist()):
-        row = nv + i
-        jtype = int(m.jnt_type[j])
-        if jtype not in (JNT_HINGE, JNT_SLIDE):
-            continue  # ball/free limits unsupported
-        qadr = int(m.jnt_qposadr[j])
-        vadr = int(m.jnt_dofadr[j])
+    # ---- joint limit rows (vectorized over limited joints) ----
+    nlimit = m.nlimit
+    if nlimit:
+        jids = m.limit_jntid  # static numpy
+        ok = np.isin(m.jnt_type[jids], (JNT_HINGE, JNT_SLIDE))
+        qadr = m.jnt_qposadr[jids]
+        vadr = m.jnt_dofadr[jids]
         q = d.qpos[qadr]
-        lo, hi = m.jnt_range[j, 0], m.jnt_range[j, 1]
+        lo = m.jnt_range[jids, 0]
+        hi = m.jnt_range[jids, 1]
         dist_lo = q - lo
         dist_hi = hi - q
         lower = dist_lo < dist_hi
         dist = jnp.minimum(dist_lo, dist_hi)
         side = jnp.where(lower, 1.0, -1.0).astype(dtype)
-        margin = m.jnt_margin[j]
+        margin = m.jnt_margin[jids]
         pos = dist - margin
         imp, k, b, Dl = _efc_kbid(
-            m.jnt_solref[j], m.jnt_solimp[j], pos, m.dof_invweight0[vadr]
+            m.jnt_solref[jids], m.jnt_solimp[jids], pos, m.dof_invweight0[vadr]
         )
         vel = side * d.qvel[vadr]
-        J = J.at[row, vadr].set(side)
-        aref = aref.at[row].set(-b * vel - k * imp * pos)
-        D = D.at[row].set(Dl)
-        pos_out = pos_out.at[row].set(dist)
-        margin_out = margin_out.at[row].set(margin)
-        active = active.at[row].set(dist < margin)
+        rows = nv + np.arange(nlimit)
+        J = J.at[rows, vadr].set(jnp.where(jnp.asarray(ok), side, 0.0))
+        aref = aref.at[rows].set(-b * vel - k * imp * pos)
+        D = D.at[rows].set(Dl)
+        pos_out = pos_out.at[rows].set(dist)
+        margin_out = margin_out.at[rows].set(margin)
+        active = active.at[rows].set((dist < margin) & jnp.asarray(ok))
 
-    # ---- contact rows (pyramidal) ----
+    # ---- contact rows: top-K compaction ----
     pt = m.pairs
-    if pt.ncon:
+    K = m.ncon_max
+    if pt.ncon and K:
+        con = d.contact
+        # depth-sorted selection (most negative dist-margin first)
+        score = con.dist - con.includemargin
+        neg, sel = jax.lax.top_k(-score, K)  # (K,) slot indices
+        sel_active = (-neg) < 0.0  # selected slot is in contact
+
         W = jnp.asarray(ancestor_dof_mask(m), dtype)  # (nbody, nv)
-        b1 = m.geom_bodyid[pt.con_geom1]
-        b2 = m.geom_bodyid[pt.con_geom2]
-        O = d.subtree_com[m.body_rootid]  # (nbody,3)
+        g1 = jnp.asarray(pt.con_geom1)[sel]
+        g2 = jnp.asarray(pt.con_geom2)[sel]
+        b1 = jnp.asarray(m.geom_bodyid)[g1]
+        b2 = jnp.asarray(m.geom_bodyid)[g2]
+        root = jnp.asarray(m.body_rootid)
+        O = d.subtree_com[root[b1] * 0 + root[b1]]  # (K,3) via gather below
+        O1 = d.subtree_com[root[b1]]
+        O2 = d.subtree_com[root[b2]]
 
         cd_ang = d.cdof[:, :3]  # (nv,3)
         cd_lin = d.cdof[:, 3:]
+        pos_k = con.pos[sel]  # (K,3)
 
-        con = d.contact
-        # translational point jacobian difference: (ncon, 3, nv)
-        # jacp_i(body) = cd_lin_i + cd_ang_i x (p - O_body_root), masked by chain
-        def point_jac(bids):
-            # (ncon, nv, 3)
-            r = con.pos[:, None, :] - O[bids][:, None, :]  # (ncon,1,3)
-            jac = cd_lin[None] + jnp.cross(cd_ang[None], jnp.broadcast_to(r, (pt.ncon, nv, 3)))
+        def point_jac(bids, Ob):
+            r = pos_k[:, None, :] - Ob[:, None, :]
+            jac = cd_lin[None] + jnp.cross(
+                jnp.broadcast_to(cd_ang[None], (K, nv, 3)),
+                jnp.broadcast_to(r, (K, nv, 3)),
+            )
             return jac * W[bids][:, :, None]
 
-        jac2 = point_jac(b2)
-        jac1 = point_jac(b1)
-        jacd = jac2 - jac1  # (ncon, nv, 3)
-        # contact-space translational rows: frame rows . jacd
-        Jc = jnp.einsum("cfk,cvk->cfv", con.frame, jacd)  # (ncon, 3, nv)
-        # rotational difference for torsion/rolling (condim > 3)
-        need_rot = bool(np.any(pt.con_dim > 3))
-        if need_rot:
-            jacr = (cd_ang[None] * W[b2][:, :, None]) - (cd_ang[None] * W[b1][:, :, None])
-            Jr = jnp.einsum("cfk,cvk->cfv", con.frame, jacr)  # (ncon, 3, nv)
+        jacd = point_jac(b2, O2) - point_jac(b1, O1)  # (K, nv, 3)
+        frame_k = con.frame[sel]  # (K, 3, 3)
+        Jc = jnp.einsum("kfx,kvx->kfv", frame_k, jacd)  # (K, 3, nv)
 
-        mu0 = con.friction[:, 0]
-        invweight_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-        diag_approx = (
-            2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) * invweight_t / m.opt.impratio
+        dim_k = jnp.asarray(pt.con_dim)[sel]  # (K,)
+        frictionless = dim_k == 1
+        mu = con.friction[sel]  # (K, 5)
+        mu1 = jnp.where(frictionless, 0.0, mu[:, 0])
+        mu2 = jnp.where(frictionless, 0.0, mu[:, 1])
+
+        # 4 rows per slot: n ± mu1 t1, n ± mu2 t2
+        Jn, Jt1, Jt2 = Jc[:, 0], Jc[:, 1], Jc[:, 2]
+        rowsJ = jnp.stack(
+            [
+                Jn + mu1[:, None] * Jt1,
+                Jn - mu1[:, None] * Jt1,
+                Jn + mu2[:, None] * Jt2,
+                Jn - mu2[:, None] * Jt2,
+            ],
+            axis=1,
+        )  # (K, 4, nv)
+
+        invweight_t = (
+            m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
         )
-        pos_c = con.dist - con.includemargin
-        imp, k, b, Dc = _efc_kbid(con.solref, con.solimp, pos_c, diag_approx)
-        act_c = con.dist < con.includemargin
+        diag_pyr = (
+            2.0 * mu1 * mu1 * (1.0 + mu1 * mu1) * invweight_t / m.opt.impratio
+        )
+        # frictionless: single-normal-row diagApprox, split over 4 rows (x4 R)
+        diag_approx = jnp.where(frictionless, invweight_t * 4.0, diag_pyr)
 
-        for c in range(pt.ncon):
-            dim = int(pt.con_dim[c])
-            adr = int(pt.con_efcadr[c])
-            nrows = 2 * (dim - 1) if dim > 1 else 1
-            if dim == 1:
-                rowsJ = Jc[c, 0][None]
-            else:
-                rows = []
-                for kdim in range(dim - 1):
-                    axJ = Jc[c, 1 + kdim] if kdim < 2 else Jr[c, kdim - 2]
-                    mu_k = con.friction[c, kdim]
-                    rows.append(Jc[c, 0] + mu_k * axJ)
-                    rows.append(Jc[c, 0] - mu_k * axJ)
-                rowsJ = jnp.stack(rows)
-            vel = rowsJ @ d.qvel
-            sl = slice(adr, adr + nrows)
-            J = J.at[sl].set(rowsJ)
-            aref = aref.at[sl].set(-b[c] * vel - k[c] * imp[c] * pos_c[c])
-            D = D.at[sl].set(Dc[c])
-            pos_out = pos_out.at[sl].set(con.dist[c])
-            margin_out = margin_out.at[sl].set(con.includemargin[c])
-            active = active.at[sl].set(act_c[c])
+        pos_c = con.dist[sel] - con.includemargin[sel]
+        imp, kk, bb, Dc = _efc_kbid(
+            con.solref[sel], con.solimp[sel], pos_c, diag_approx
+        )
+        vel = jnp.einsum("krv,v->kr", rowsJ, d.qvel)  # (K, 4)
+        aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
 
-    # inactive rows contribute nothing: zero their D and frictionloss
+        base = nv + nlimit
+        idx = base + jnp.arange(K * 4)
+        J = J.at[idx].set(rowsJ.reshape(K * 4, nv))
+        D = D.at[idx].set(
+            jnp.where(sel_active, Dc, 0.0)[:, None].repeat(4, 1).reshape(-1)
+        )
+        aref = aref.at[idx].set(aref_c.reshape(-1))
+        pos_out = pos_out.at[idx].set(con.dist[sel][:, None].repeat(4, 1).reshape(-1))
+        margin_out = margin_out.at[idx].set(
+            con.includemargin[sel][:, None].repeat(4, 1).reshape(-1)
+        )
+        active = active.at[idx].set(
+            sel_active[:, None].repeat(4, 1).reshape(-1)
+        )
+        d = d.replace(con_sel=sel, con_sel_active=sel_active)
+
+    # inactive rows contribute nothing
     D = jnp.where(active, D, 0.0)
     fl_out = jnp.where(active, fl_out, 0.0)
     return d.replace(

@@ -87,6 +87,9 @@ class Data:
     efc_force: jax.Array  # (nefc,)
     qfrc_constraint: jax.Array  # (nv,)
     qacc: jax.Array  # (nv,)
+    con_sel: jax.Array  # (ncon_max,) int32: compacted contact slot ids
+    con_sel_active: jax.Array  # (ncon_max,) bool
+    con_force: jax.Array  # (ncon, 3) world-frame contact force on geom2
 
 
 def make_data(m: Model, dtype=jnp.float32) -> Data:
@@ -153,6 +156,9 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         efc_force=z(m.nefc),
         qfrc_constraint=z(m.nv),
         qacc=z(m.nv),
+        con_sel=jnp.zeros((m.ncon_max,), jnp.int32),
+        con_sel_active=jnp.zeros((m.ncon_max,), bool),
+        con_force=z(ncon, 3),
     )
 
 

@@ -133,6 +133,7 @@ class Model:
     # constraint layout
     nefc: Static[int]
     nlimit: Static[int]
+    ncon_max: Static[int]
     limit_jntid: Static[np.ndarray]  # (nlimit,) joint ids with limits
     efc_type: Static[np.ndarray]  # (nefc,)
     pairs: PairTable
@@ -193,7 +194,9 @@ def _names(mj: mujoco.MjModel, objtype, n) -> tuple:
     )
 
 
-def put_model(mj: mujoco.MjModel, dtype: Any = jnp.float32) -> Model:
+def put_model(
+    mj: mujoco.MjModel, dtype: Any = jnp.float32, nconmax: int | None = None
+) -> Model:
     """Convert a compiled mujoco.MjModel into the JAX Model pytree.
 
     Replaces the reference's mjwarp.put_model host->device upload
@@ -229,24 +232,21 @@ def put_model(mj: mujoco.MjModel, dtype: Any = jnp.float32) -> Model:
     pairs = make_pair_table(mj)
 
     # --- constraint row layout (static) ---
-    # order: [dof friction rows (nv)] [joint limit rows] [contact rows]
+    # order: [dof friction (nv)] [joint limits] [4 rows per compacted contact]
     limit_jntid = np.nonzero(mj.jnt_limited)[0].astype(np.int32)
     nlimit = len(limit_jntid)
-    efc_types = [np.full(mj.nv, EFC_FRICTION_DOF, np.int32),
-                 np.full(nlimit, EFC_LIMIT_JOINT, np.int32)]
-    con_efcadr = np.zeros(pairs.ncon, np.int32)
-    adr = mj.nv + nlimit
-    pyramidal = int(mj.opt.cone) == CONE_PYRAMIDAL
-    con_rows = []
-    for c in range(pairs.ncon):
-        dim = int(pairs.con_dim[c])
-        nrows = (2 * (dim - 1) if dim > 1 else 1) if pyramidal else dim
-        con_efcadr[c] = adr
-        adr += nrows
-        con_rows.append(np.full(nrows, EFC_CONTACT, np.int32))
-    efc_type = np.concatenate(efc_types + con_rows) if (con_rows or efc_types) else np.zeros(0, np.int32)
-    nefc = int(adr)
-    pairs = pairs.replace(con_efcadr=con_efcadr)
+    if int(mj.opt.cone) != CONE_PYRAMIDAL:
+        raise NotImplementedError("elliptic cone: follow-up (use pyramidal)")
+    if nconmax is None:
+        # heuristic ~ mjwarp's default regime; reference tasks set 35
+        nconmax = 64
+    ncon_max = int(min(pairs.ncon, nconmax))
+    nefc = mj.nv + nlimit + 4 * ncon_max
+    efc_type = np.concatenate([
+        np.full(mj.nv, EFC_FRICTION_DOF, np.int32),
+        np.full(nlimit, EFC_LIMIT_JOINT, np.int32),
+        np.full(4 * ncon_max, EFC_CONTACT, np.int32),
+    ])
 
     return Model(
         nq=mj.nq, nv=mj.nv, nu=mj.nu, nbody=mj.nbody, njnt=mj.njnt,
@@ -278,6 +278,7 @@ def put_model(mj: mujoco.MjModel, dtype: Any = jnp.float32) -> Model:
         actuator_forcelimited=mj.actuator_forcelimited.astype(np.int32),
         nefc=nefc,
         nlimit=nlimit,
+        ncon_max=ncon_max,
         limit_jntid=limit_jntid,
         efc_type=efc_type,
         pairs=pairs,

@@ -146,9 +146,33 @@ def solve(m: Model, d: Data) -> Data:
     jar = J @ x - aref
     force, _ = _row_forces(m, jar, D, fl, is_friction)
     qfrc_constraint = J.T @ force
+
+    # decode per-contact world forces for the compacted slots
+    # (mj_contactForce equivalent): rows [n+u1 t1, n-u1 t1, n+u2 t2, n-u2 t2]
+    # -> f = [sum(rows), u1 (r0-r1), u2 (r2-r3)] in the contact frame.
+    con_force = d.con_force
+    K = m.ncon_max
+    if K and m.pairs.ncon:
+        base = m.nv + m.nlimit
+        rows = force[base : base + 4 * K].reshape(K, 4)
+        sel = d.con_sel
+        mu = d.contact.friction[sel]
+        dim_k = jnp.asarray(m.pairs.con_dim)[sel]
+        mu1 = jnp.where(dim_k == 1, 0.0, mu[:, 0])
+        mu2 = jnp.where(dim_k == 1, 0.0, mu[:, 1])
+        fn = jnp.sum(rows, axis=-1)
+        ft1 = mu1 * (rows[:, 0] - rows[:, 1])
+        ft2 = mu2 * (rows[:, 2] - rows[:, 3])
+        fc = jnp.stack([fn, ft1, ft2], axis=-1)  # (K, 3) contact frame
+        frame = d.contact.frame[sel]  # (K, 3, 3) rows [n, t1, t2]
+        fw = jnp.einsum("kf,kfx->kx", fc, frame)
+        fw = fw * d.con_sel_active[:, None]
+        con_force = jnp.zeros_like(d.con_force).at[sel].set(fw)
+
     return d.replace(
         qacc=x,
         efc_force=force,
         qfrc_constraint=qfrc_constraint,
         qacc_warmstart=x,
+        con_force=con_force,
     )

@@ -197,8 +197,6 @@ class ContactSensor(Sensor):
         self.slot_table = slot_table
         self.slot_mask = slot_mask
         self.slot_sign = sign
-        self.slot_efcadr = pt.con_efcadr[slot_table]
-        self.slot_dim = pt.con_dim[slot_table]
 
         if self.cfg.track_air_time:
             z = jnp.zeros((num_envs, M), jnp.float32)
@@ -224,36 +222,10 @@ class ContactSensor(Sensor):
         found = jnp.any(active, axis=-1)
 
         M, S = st.shape
-        E = d.qpos.shape[0]
-        force_w = jnp.zeros((E, M, S, 3), d.qpos.dtype)
-        need_force = "force" in self.cfg.fields or self.cfg.reduce in (
-            "netforce", "maxforce",
-        )
-        if need_force:
-            for dim in sorted(set(self.slot_dim.reshape(-1).tolist())):
-                nrows = 2 * (dim - 1) if dim > 1 else 1
-                sel = self.slot_dim == dim
-                if not sel.any():
-                    continue
-                midx, sidx = np.nonzero(sel)
-                adrs = self.slot_efcadr[midx, sidx]
-                row_idx = adrs[:, None] + np.arange(nrows)[None]
-                rows = d.efc_force[:, row_idx]  # (E, K, nrows)
-                slots = st[midx, sidx]
-                mu = d.contact.friction[:, slots]
-                fc = pyramid_to_force(dim, mu, rows)
-                if fc.shape[-1] < 3:
-                    fc = jnp.concatenate(
-                        [fc, jnp.zeros(fc.shape[:-1] + (3 - fc.shape[-1],), fc.dtype)],
-                        -1,
-                    )
-                else:
-                    fc = fc[..., :3]
-                frame = d.contact.frame[:, slots]
-                fw = jnp.einsum("ekf,ekfx->ekx", fc, frame)
-                force_w = force_w.at[:, midx, sidx].set(fw)
-            sgn = jnp.asarray(self.slot_sign)
-            force_w = force_w * jnp.where(active, sgn, 0.0)[..., None]
+        # world forces already decoded per slot by the solver (d.con_force,
+        # force on geom2); flip sign so force is ON the primary object
+        sgn = jnp.asarray(self.slot_sign)  # (M, S)
+        force_w = d.con_force[:, st] * sgn[None, :, :, None]
         net_force = jnp.sum(force_w, axis=2)
 
         deepest = jnp.argmin(dist, axis=-1)

@@ -124,7 +124,7 @@ class Simulation:
         cfg.mujoco.apply(model)
         self.mj_model = model
         self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
-        self.model: Model = put_model(model, dtype=self.dtype)
+        self.model: Model = put_model(model, dtype=self.dtype, nconmax=cfg.nconmax)
         self._batched_fields: frozenset[str] = frozenset()
         self._default_fields: dict[str, jax.Array] = {}
 

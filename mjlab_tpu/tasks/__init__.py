@@ -10,3 +10,4 @@ from mjlab_tpu.tasks.registry import (  # noqa: F401
 
 # task packages register on import
 from mjlab_tpu.tasks import velocity  # noqa: F401
+from mjlab_tpu.tasks import tracking  # noqa: F401
