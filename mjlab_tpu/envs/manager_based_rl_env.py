@@ -97,6 +97,7 @@ class EnvState:
     event_state: dict
     command_state: dict
     curriculum_state: dict
+    terrain_state: dict
     episode_length: jax.Array  # (E,) int32
     common_step: jax.Array  # () int32
     rng: jax.Array
@@ -114,6 +115,7 @@ class Ctx(SimContext):
         self.event_state = {}
         self.command_state = {}
         self.curriculum_state = {}
+        self.terrain_state = {}
         self.episode_length = None
         self.common_step = None
         self.rng = None
@@ -136,6 +138,7 @@ class Ctx(SimContext):
         self.event_state = dict(s.event_state)
         self.command_state = dict(s.command_state)
         self.curriculum_state = dict(s.curriculum_state)
+        self.terrain_state = dict(s.terrain_state)
         self.episode_length = s.episode_length
         self.common_step = s.common_step
         self.rng = s.rng
@@ -154,6 +157,7 @@ class Ctx(SimContext):
             event_state=dict(self.event_state),
             command_state=dict(self.command_state),
             curriculum_state=dict(self.curriculum_state),
+            terrain_state=dict(self.terrain_state),
             episode_length=self.episode_length,
             common_step=self.common_step,
             rng=self.rng,
@@ -189,6 +193,11 @@ class ManagerBasedRlEnv:
         self.ctx.rng = self._next_init_key()
         self.ctx.episode_length = jnp.zeros((self.num_envs,), jnp.int32)
         self.ctx.common_step = jnp.zeros((), jnp.int32)
+
+        if self.scene.terrain is not None:
+            self.ctx.terrain_state = self.scene.terrain.init_state(
+                self.num_envs, self._next_init_key()
+            )
 
         self.event_manager = EventManager(cfg.events, self)
         dr_fields = self.event_manager.domain_randomization_fields

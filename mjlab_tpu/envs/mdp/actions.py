@@ -15,6 +15,15 @@ from mjlab_tpu.utils.string import resolve_matching_names_values
 
 
 class JointAction(ActionTerm):
+    @property
+    def scale(self):
+        """Per-joint action scale (deployment metadata surface)."""
+        return self._scale
+
+    @property
+    def offset(self):
+        return self._offset
+
     def __init__(self, cfg, env):
         super().__init__(cfg, env)
         ids, names = self._asset.find_actuators(list(cfg.actuator_names))

@@ -20,6 +20,7 @@ from mjlab_tpu.managers.scene_entity_config import SceneEntityCfg
 from mjlab_tpu.utils import math
 
 __all__ = [
+    "randomize_terrain",
     "reset_scene_to_default",
     "reset_root_state_uniform",
     "reset_joints_by_offset",
@@ -50,6 +51,14 @@ def _rand(rng, distribution, lo, hi, shape, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 # state resets
 # ---------------------------------------------------------------------------
+
+
+def randomize_terrain(env, env_mask):
+    """Re-assign resetting envs a random sub-terrain level AND type
+    (reference events.py:26-38) — play/eval variety."""
+    terrain = env.scene.terrain
+    if terrain is not None:
+        terrain.randomize_env_origins(env_mask, env.ctx.next_key())
 
 
 def reset_scene_to_default(env, env_mask):

@@ -21,11 +21,38 @@ def _cfg_items(cfg):
 
 
 class ManagerTermBase:
-    """Class-based term: configured once, called like the term function."""
+    """Class-based term: configured once, called like the term function.
+
+    Stateful terms (reference terms with reset_idx, e.g. jump
+    rewards.py:20,220) keep per-env TRACED state: define ``init_state`` and
+    read/write ``self.state`` — the owning manager binds it to a slot in
+    the env context, so term state lives inside EnvState like everything
+    else (pure, maskable, no recompiles)."""
 
     def __init__(self, cfg, env: "ManagerBasedRlEnv"):
         self.cfg = cfg
         self._env = env
+        self._state_slot: tuple[str, str] | None = None
+
+    def init_state(self, num_envs: int):
+        """Optional per-env traced state pytree; None = stateless."""
+        return None
+
+    @property
+    def state(self):
+        assert self._state_slot is not None, "term has no bound state slot"
+        slot, name = self._state_slot
+        return getattr(self._env.ctx, slot)["terms"][name]
+
+    @state.setter
+    def state(self, value):
+        assert self._state_slot is not None, "term has no bound state slot"
+        slot, name = self._state_slot
+        s = dict(getattr(self._env.ctx, slot))
+        terms = dict(s.get("terms", {}))
+        terms[name] = value
+        s["terms"] = terms
+        setattr(self._env.ctx, slot, s)
 
     def reset(self, env_mask, ctx=None):
         """Masked per-env reset of any internal state. Returns optional log

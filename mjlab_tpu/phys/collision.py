@@ -40,11 +40,15 @@ _PAIR_NCON = {
     (GEOM_PLANE, GEOM_SPHERE): 1,
     (GEOM_PLANE, GEOM_CAPSULE): 2,
     (GEOM_PLANE, GEOM_BOX): 4,
+    (GEOM_HFIELD, GEOM_SPHERE): 1,
+    (GEOM_HFIELD, GEOM_CAPSULE): 2,
+    (GEOM_HFIELD, GEOM_BOX): 4,
     (GEOM_SPHERE, GEOM_SPHERE): 1,
     (GEOM_SPHERE, GEOM_CAPSULE): 1,
     (GEOM_SPHERE, GEOM_BOX): 1,
     (GEOM_CAPSULE, GEOM_CAPSULE): 1,
     (GEOM_CAPSULE, GEOM_BOX): 2,
+    (GEOM_BOX, GEOM_BOX): 4,
 }
 
 
@@ -261,7 +265,7 @@ def _plane_box(xpos1, xmat1, size1, xpos2, xmat2, size2):
         dtype=xpos2.dtype,
     )  # (8,3)
     corners = xpos2[..., None, :] + jnp.einsum(
-        "...ij,kj->...ki", xmat2, signs * size2[..., None, :]
+        "...ij,...kj->...ki", xmat2, signs * size2[..., None, :]
     )
     h = jnp.sum(n[..., None, :] * (corners - xpos1[..., None, :]), axis=-1)  # (...,8)
     # keep the 4 deepest corners
@@ -431,6 +435,192 @@ def _capsule_box(xpos1, xmat1, size1, xpos2, xmat2, size2):
     )
 
 
+def _box_corners(xpos, xmat, size):
+    signs = jnp.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        dtype=xpos.dtype,
+    )
+    return xpos[..., None, :] + jnp.einsum(
+        "...ij,...kj->...ki", xmat, signs * size[..., None, :]
+    )  # (..., 8, 3)
+
+
+def _box_box(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    """Box-box via face SAT: test the 6 face axes, take the axis of
+    minimal overlap as the contact normal, and emit the 4 deepest corners
+    of the incident box measured against the reference face plane.
+
+    Face-dominant manifolds (grasping, stacking) are handled exactly;
+    edge-edge crossing manifolds fall back to the best face axis and
+    correct within a step once a vertex penetrates. (MuJoCo's mjc_BoxBox
+    also does SAT, with up-to-8-point face clipping; this static-shape
+    variant keeps the 4-slot pyramid layout.)"""
+    delta = xpos2 - xpos1  # (..., 3)
+    axes = jnp.concatenate(
+        [xmat1[..., :, :].swapaxes(-1, -2), xmat2[..., :, :].swapaxes(-1, -2)],
+        axis=-2,
+    )  # (..., 6, 3) rows = candidate axes (box1 xyz, box2 xyz)
+
+    # projection radii of each box onto each axis
+    def radius(axis, xmat, size):
+        # |axis . u_i| * s_i summed over the box's 3 local axes
+        proj = jnp.abs(jnp.einsum("...kx,...xi->...ki", axis, xmat))
+        return jnp.sum(proj * size[..., None, :], axis=-1)
+
+    r1 = radius(axes, xmat1, size1)  # (..., 6)
+    r2 = radius(axes, xmat2, size2)
+    cdist = jnp.einsum("...kx,...x->...k", axes, delta)  # center separation
+    sep = jnp.abs(cdist) - (r1 + r2)  # signed separation per axis (<0 overlap)
+
+    k = jnp.argmax(sep, axis=-1)  # least-overlapping face axis
+    a = jnp.take_along_axis(axes, k[..., None, None].repeat(3, -1), axis=-2)[
+        ..., 0, :
+    ]
+    cd_k = jnp.take_along_axis(cdist, k[..., None], axis=-1)[..., 0]
+    n = a * jnp.sign(cd_k)[..., None]  # geom1 -> geom2
+
+    ref_is_1 = k < 3  # reference box owns the face axis
+    # reference face plane: point on face + outward normal toward the other
+    ref_pos = jnp.where(ref_is_1[..., None], xpos1, xpos2)
+    r_ref = jnp.where(
+        ref_is_1,
+        jnp.take_along_axis(r1, k[..., None], -1)[..., 0],
+        jnp.take_along_axis(r2, k[..., None], -1)[..., 0],
+    )
+    # outward normal of the reference face, pointing at the incident box
+    n_out = jnp.where(ref_is_1[..., None], n, -n)
+    plane_p = ref_pos + n_out * r_ref[..., None]
+
+    inc_corners = jnp.where(
+        ref_is_1[..., None, None],
+        _box_corners(xpos2, xmat2, size2),
+        _box_corners(xpos1, xmat1, size1),
+    )  # (..., 8, 3)
+    # signed distance of incident corners beyond the reference face
+    d8 = jnp.einsum(
+        "...kx,...x->...k", inc_corners - plane_p[..., None, :], n_out
+    )
+    neg, idx = jax.lax.top_k(-d8, 4)
+    dist = -neg
+    corners = jnp.take_along_axis(inc_corners, idx[..., None].repeat(3, -1), -2)
+    pos = corners - n_out[..., None, :] * 0.5 * dist[..., None]
+    frame = jnp.broadcast_to(
+        make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3)
+    )
+    return dist, pos, frame
+
+
+# ---------------------------------------------------------------------------
+# Heightfield narrowphase (TPU-native terrain collision)
+# ---------------------------------------------------------------------------
+#
+# The terrain — whatever mix of sub-terrains generated it — is ONE global
+# elevation grid (terrains/terrain_generator.py). Collision against it is a
+# bilinear height/gradient sample per query point: O(robot geoms) gathers
+# with static shapes, regardless of terrain complexity. This replaces the
+# reference's per-box CUDA broadphase over thousands of terrain geoms.
+
+
+def _hfield_sample(m, lx, ly):
+    """Bilinear height + gradient of the hfield at local (x, y).
+
+    mjModel layout: data (nrow, ncol) normalized to [0,1], col -> x over
+    [-size0, size0], row -> y over [-size1, size1]; elevation = data*size2.
+    """
+    sz = m.hfield_size[0]
+    nr, nc = m.hfield_nrow, m.hfield_ncol
+    gx = (lx / sz[0] + 1.0) * 0.5 * (nc - 1)
+    gy = (ly / sz[1] + 1.0) * 0.5 * (nr - 1)
+    gx = jnp.clip(gx, 0.0, nc - 1.000001)
+    gy = jnp.clip(gy, 0.0, nr - 1.000001)
+    ix = jnp.floor(gx).astype(jnp.int32)
+    iy = jnp.floor(gy).astype(jnp.int32)
+    fx = gx - ix
+    fy = gy - iy
+    data = m.hfield_data
+    h00 = data[iy, ix]
+    h01 = data[iy, ix + 1]
+    h10 = data[iy + 1, ix]
+    h11 = data[iy + 1, ix + 1]
+    h = ((1 - fx) * (1 - fy) * h00 + fx * (1 - fy) * h01
+         + (1 - fx) * fy * h10 + fx * fy * h11) * sz[2]
+    dhdx = (((1 - fy) * (h01 - h00) + fy * (h11 - h10)) * sz[2]
+            * (0.5 * (nc - 1) / sz[0]))
+    dhdy = (((1 - fx) * (h10 - h00) + fx * (h11 - h01)) * sz[2]
+            * (0.5 * (nr - 1) / sz[1]))
+    return h, dhdx, dhdy
+
+
+def _hfield_point(m, p_local, radius):
+    """Contact of a sphere (center p_local, radius) with the hfield, in the
+    hfield's local frame. Returns (dist, pos_local, n_local)."""
+    h, dhdx, dhdy = _hfield_sample(m, p_local[..., 0], p_local[..., 1])
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    # signed distance along n from the surface plane at the footpoint
+    dist = (p_local[..., 2] - h) * n[..., 2] - radius
+    pos = p_local - n * (radius + 0.5 * dist)[..., None]
+    return dist, pos, n
+
+
+def _to_world(xpos, xmat, pos_l, n_l):
+    pos = xpos + jnp.einsum("...ij,...j->...i", xmat, pos_l)
+    n = jnp.einsum("...ij,...j->...i", xmat, n_l)
+    return pos, n
+
+
+def _hfield_sphere(m, xpos1, xmat1, size1, xpos2, xmat2, size2):
+    p_l = jnp.einsum("...ji,...j->...i", xmat1, xpos2 - xpos1)
+    dist, pos_l, n_l = _hfield_point(m, p_l, size2[..., 0])
+    pos, n = _to_world(xpos1, xmat1, pos_l, n_l)
+    return dist[..., None], pos[..., None, :], make_frame(n)[..., None, :, :]
+
+
+def _hfield_capsule(m, xpos1, xmat1, size1, xpos2, xmat2, size2):
+    axis = xmat2[..., :, 2]
+    hl = size2[..., 1:2]
+    r = size2[..., 0]
+    dists, poss, frames = [], [], []
+    for e in (xpos2 + axis * hl, xpos2 - axis * hl):
+        p_l = jnp.einsum("...ji,...j->...i", xmat1, e - xpos1)
+        dist, pos_l, n_l = _hfield_point(m, p_l, r)
+        pos, n = _to_world(xpos1, xmat1, pos_l, n_l)
+        dists.append(dist)
+        poss.append(pos)
+        frames.append(make_frame(n))
+    return (
+        jnp.stack(dists, -1),
+        jnp.stack(poss, -2),
+        jnp.stack(frames, -3),
+    )
+
+
+def _hfield_box(m, xpos1, xmat1, size1, xpos2, xmat2, size2):
+    signs = jnp.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        dtype=xpos2.dtype,
+    )
+    corners = xpos2[..., None, :] + jnp.einsum(
+        "...ij,...kj->...ki", xmat2, signs * size2[..., None, :]
+    )  # (..., 8, 3)
+    p_l = jnp.einsum("...ji,...kj->...ki", xmat1, corners - xpos1[..., None, :])
+    dist8, pos8_l, n8_l = _hfield_point(m, p_l, jnp.zeros(p_l.shape[:-1], p_l.dtype))
+    neg, idx = jax.lax.top_k(-dist8, 4)
+    dist = -neg
+    pos_l = jnp.take_along_axis(pos8_l, idx[..., None].repeat(3, -1), axis=-2)
+    n_l = jnp.take_along_axis(n8_l, idx[..., None].repeat(3, -1), axis=-2)
+    pos = xpos1[..., None, :] + jnp.einsum("...ij,...kj->...ki", xmat1, pos_l)
+    n = jnp.einsum("...ij,...kj->...ki", xmat1, n_l)
+    return dist, pos, make_frame(n)
+
+
+_HFIELD_NARROWPHASE = {
+    GEOM_SPHERE: _hfield_sphere,
+    GEOM_CAPSULE: _hfield_capsule,
+    GEOM_BOX: _hfield_box,
+}
+
+
 _NARROWPHASE = {
     (GEOM_PLANE, GEOM_SPHERE): _plane_sphere,
     (GEOM_PLANE, GEOM_CAPSULE): _plane_capsule,
@@ -440,6 +630,7 @@ _NARROWPHASE = {
     (GEOM_SPHERE, GEOM_BOX): _sphere_box,
     (GEOM_CAPSULE, GEOM_CAPSULE): _capsule_capsule,
     (GEOM_CAPSULE, GEOM_BOX): _capsule_box,
+    (GEOM_BOX, GEOM_BOX): _box_box,
 }
 
 
@@ -465,14 +656,22 @@ def collision(m, d):
         keys.setdefault((int(type1[p]), int(type2[p])), []).append(p)
 
     for key, plist in keys.items():
-        fn = _NARROWPHASE[key]
         pidx = np.array(plist, np.int32)
         g1 = pt.geom1[pidx]
         g2 = pt.geom2[pidx]
-        dd, pp, nn = fn(
-            d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
-            d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
-        )
+        if key[0] == GEOM_HFIELD:
+            fn = _HFIELD_NARROWPHASE[key[1]]
+            dd, pp, nn = fn(
+                m,
+                d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
+                d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+            )
+        else:
+            fn = _NARROWPHASE[key]
+            dd, pp, nn = fn(
+                d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
+                d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+            )
         k = dd.shape[-1]
         # contact slot indices for these pairs (static)
         slots = np.concatenate(

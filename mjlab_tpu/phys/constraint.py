@@ -81,9 +81,12 @@ def _efc_kbid(solref, solimp, pos, diag_approx):
 
 
 def make_constraint(m: Model, d: Data) -> Data:
-    """Fill efc_J/D/aref/pos/frictionloss/active (+ contact selection)."""
+    """Fill efc_J/D/aref/pos/frictionloss/active (+ contact selection).
+
+    Row layout: [joint equality][dof friction][joint limits][contacts]."""
     dtype = d.qpos.dtype
     nv, nefc = m.nv, m.nefc
+    neq = m.neq_jnt
     J = jnp.zeros((nefc, nv), dtype)
     D = jnp.zeros((nefc,), dtype)
     aref = jnp.zeros((nefc,), dtype)
@@ -92,15 +95,59 @@ def make_constraint(m: Model, d: Data) -> Data:
     fl_out = jnp.zeros((nefc,), dtype)
     active = jnp.zeros((nefc,), bool)
 
-    # ---- dof friction rows [0, nv) ----
+    # ---- joint equality rows [0, neq) (mjEQ_JOINT; bilateral soft) ----
+    if neq:
+        q1 = d.qpos[m.eq_j1_qadr] - m.eq_q0_1
+        has_j2 = jnp.asarray(m.eq_j2_qadr >= 0)
+        q2 = jnp.where(
+            has_j2, d.qpos[jnp.maximum(jnp.asarray(m.eq_j2_qadr), 0)] - m.eq_q0_2, 0.0
+        )
+        pc = m.eq_polycoef  # (neq, 5)
+        powers = jnp.stack([jnp.ones_like(q2), q2, q2**2, q2**3, q2**4], -1)
+        poly = jnp.sum(pc * powers, -1)
+        dpoly = (
+            pc[:, 1]
+            + 2 * pc[:, 2] * q2
+            + 3 * pc[:, 3] * q2 * q2
+            + 4 * pc[:, 4] * q2 * q2 * q2
+        )
+        pos_eq = q1 - poly
+        rows = jnp.arange(neq)
+        J = J.at[rows, jnp.asarray(m.eq_j1_dofadr)].set(1.0)
+        J = J.at[rows, jnp.maximum(jnp.asarray(m.eq_j2_dofadr), 0)].add(
+            jnp.where(has_j2, -dpoly, 0.0)
+        )
+        iw = (
+            m.dof_invweight0[jnp.asarray(m.eq_j1_dofadr)]
+            + jnp.where(
+                has_j2,
+                m.dof_invweight0[jnp.maximum(jnp.asarray(m.eq_j2_dofadr), 0)],
+                0.0,
+            )
+        )
+        imp, k, b, De = _efc_kbid(m.eq_solref, m.eq_solimp, pos_eq, iw)
+        vel = (
+            d.qvel[jnp.asarray(m.eq_j1_dofadr)]
+            - jnp.where(
+                has_j2,
+                dpoly * d.qvel[jnp.maximum(jnp.asarray(m.eq_j2_dofadr), 0)],
+                0.0,
+            )
+        )
+        aref = aref.at[:neq].set(-b * vel - k * imp * pos_eq)
+        D = D.at[:neq].set(De)
+        pos_out = pos_out.at[:neq].set(pos_eq)
+        active = active.at[:neq].set(True)
+
+    # ---- dof friction rows [neq, neq+nv) ----
     if nv:
-        J = J.at[jnp.arange(nv), jnp.arange(nv)].set(1.0)
+        J = J.at[neq + jnp.arange(nv), jnp.arange(nv)].set(1.0)
         zero = jnp.zeros(nv, dtype)
         imp, k, b, Df = _efc_kbid(m.dof_solref, m.dof_solimp, zero, m.dof_invweight0)
-        aref = aref.at[:nv].set(-b * d.qvel)
-        D = D.at[:nv].set(Df)
-        fl_out = fl_out.at[:nv].set(m.dof_frictionloss)
-        active = active.at[:nv].set(m.dof_frictionloss > 0)
+        aref = aref.at[neq : neq + nv].set(-b * d.qvel)
+        D = D.at[neq : neq + nv].set(Df)
+        fl_out = fl_out.at[neq : neq + nv].set(m.dof_frictionloss)
+        active = active.at[neq : neq + nv].set(m.dof_frictionloss > 0)
 
     # ---- joint limit rows (vectorized over limited joints) ----
     nlimit = m.nlimit
@@ -123,7 +170,7 @@ def make_constraint(m: Model, d: Data) -> Data:
             m.jnt_solref[jids], m.jnt_solimp[jids], pos, m.dof_invweight0[vadr]
         )
         vel = side * d.qvel[vadr]
-        rows = nv + np.arange(nlimit)
+        rows = neq + nv + np.arange(nlimit)
         J = J.at[rows, vadr].set(jnp.where(jnp.asarray(ok), side, 0.0))
         aref = aref.at[rows].set(-b * vel - k * imp * pos)
         D = D.at[rows].set(Dl)
@@ -167,27 +214,50 @@ def make_constraint(m: Model, d: Data) -> Data:
         frame_k = con.frame[sel]  # (K, 3, 3)
         Jc = jnp.einsum("kfx,kvx->kfv", frame_k, jacd)  # (K, 3, nv)
 
+        R = m.rows_per_con  # 2*(maxdim-1): 4 (condim<=3) .. 10 (condim 6)
+        ndirs = R // 2  # friction directions incl. normal-paired layout
         dim_k = jnp.asarray(pt.con_dim)[sel]  # (K,)
         frictionless = dim_k == 1
         mu = con.friction[sel]  # (K, 5)
-        mu1 = jnp.where(frictionless, 0.0, mu[:, 0])
-        mu2 = jnp.where(frictionless, 0.0, mu[:, 1])
+        # friction coefficient per direction, masked by the slot's condim:
+        # dir i active iff condim > i+1 (t1,t2 need 3; torsion 4; rolls 6)
+        dir_need = np.array([3, 3, 4, 6, 6], np.int32)[:ndirs]
+        mu_dirs = jnp.where(
+            (dim_k[:, None] >= dir_need[None, :]) & ~frictionless[:, None],
+            mu[:, :ndirs],
+            0.0,
+        )  # (K, ndirs)
 
-        # 4 rows per slot: n ± mu1 t1, n ± mu2 t2
+        # direction Jacobians: linear t1,t2 then angular n,t1,t2
         Jn, Jt1, Jt2 = Jc[:, 0], Jc[:, 1], Jc[:, 2]
-        rowsJ = jnp.stack(
-            [
-                Jn + mu1[:, None] * Jt1,
-                Jn - mu1[:, None] * Jt1,
-                Jn + mu2[:, None] * Jt2,
-                Jn - mu2[:, None] * Jt2,
-            ],
-            axis=1,
-        )  # (K, 4, nv)
+        dirJ = [Jt1, Jt2]
+        if ndirs > 2:
+            # angular relative jacobian rotated into the contact frame
+            jaca = (
+                jnp.broadcast_to(cd_ang[None], (K, nv, 3)) * W[b2][:, :, None]
+                - jnp.broadcast_to(cd_ang[None], (K, nv, 3)) * W[b1][:, :, None]
+            )
+            Ja = jnp.einsum("kfx,kvx->kfv", frame_k, jaca)  # (K, 3, nv)
+            dirJ += [Ja[:, 0], Ja[:, 1], Ja[:, 2]][: ndirs - 2]
+        rows_list = []
+        for i in range(ndirs):
+            rows_list.append(Jn + mu_dirs[:, i, None] * dirJ[i])
+            rows_list.append(Jn - mu_dirs[:, i, None] * dirJ[i])
+        rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv)
+
+        # row activity: condim-1 slots use only the first 4 rows (mu=0,
+        # normal split over 4 -> x4 R, numerically equal to one normal
+        # row); condim>=3 slots use 2*(condim-1) rows.
+        row_count = jnp.where(
+            frictionless, 4, 2 * (jnp.maximum(dim_k, 3) - 1)
+        )  # (K,)
+        row_idx = np.arange(R)
+        row_on = row_idx[None, :] < row_count[:, None]  # (K, R)
 
         invweight_t = (
             m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
         )
+        mu1 = mu_dirs[:, 0]
         diag_pyr = (
             2.0 * mu1 * mu1 * (1.0 + mu1 * mu1) * invweight_t / m.opt.impratio
         )
@@ -198,28 +268,27 @@ def make_constraint(m: Model, d: Data) -> Data:
         imp, kk, bb, Dc = _efc_kbid(
             con.solref[sel], con.solimp[sel], pos_c, diag_approx
         )
-        vel = jnp.einsum("krv,v->kr", rowsJ, d.qvel)  # (K, 4)
+        vel = jnp.einsum("krv,v->kr", rowsJ, d.qvel)  # (K, R)
         aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
 
-        base = nv + nlimit
-        idx = base + jnp.arange(K * 4)
-        J = J.at[idx].set(rowsJ.reshape(K * 4, nv))
-        D = D.at[idx].set(
-            jnp.where(sel_active, Dc, 0.0)[:, None].repeat(4, 1).reshape(-1)
-        )
+        base = neq + nv + nlimit
+        idx = base + jnp.arange(K * R)
+        on = (sel_active[:, None] & row_on).reshape(-1)
+        J = J.at[idx].set(rowsJ.reshape(K * R, nv))
+        D = D.at[idx].set(jnp.where(on, jnp.repeat(Dc, R), 0.0))
         aref = aref.at[idx].set(aref_c.reshape(-1))
-        pos_out = pos_out.at[idx].set(con.dist[sel][:, None].repeat(4, 1).reshape(-1))
-        margin_out = margin_out.at[idx].set(
-            con.includemargin[sel][:, None].repeat(4, 1).reshape(-1)
-        )
-        active = active.at[idx].set(
-            sel_active[:, None].repeat(4, 1).reshape(-1)
-        )
+        pos_out = pos_out.at[idx].set(jnp.repeat(con.dist[sel], R))
+        margin_out = margin_out.at[idx].set(jnp.repeat(con.includemargin[sel], R))
+        active = active.at[idx].set(on)
         d = d.replace(con_sel=sel, con_sel_active=sel_active)
 
-    # inactive rows contribute nothing
+    # inactive rows contribute nothing. J/aref are zeroed too so that any
+    # non-finite values in far-away (inactive) contact slots can never
+    # poison the Newton solve through 0*NaN propagation.
     D = jnp.where(active, D, 0.0)
     fl_out = jnp.where(active, fl_out, 0.0)
+    J = jnp.where(active[:, None], J, 0.0)
+    aref = jnp.where(active, aref, 0.0)
     return d.replace(
         efc_J=J, efc_D=D, efc_aref=aref, efc_pos=pos_out,
         efc_margin=margin_out, efc_frictionloss=fl_out, efc_active=active,

@@ -12,6 +12,7 @@ recompilation (vmap with a Model-pytree of in_axes).
 
 from __future__ import annotations
 
+import warnings
 from typing import Any
 
 import jax
@@ -41,6 +42,7 @@ CONE_PYRAMIDAL, CONE_ELLIPTIC = 0, 1
 EFC_FRICTION_DOF = 0
 EFC_LIMIT_JOINT = 1
 EFC_CONTACT = 2
+EFC_EQUALITY = 3
 
 
 @pytree
@@ -120,6 +122,12 @@ class Model:
     geom_type: Static[np.ndarray]
     geom_condim: Static[np.ndarray]
     geom_priority: Static[np.ndarray]
+    geom_dataid: Static[np.ndarray]
+
+    # heightfield terrain (at most one hfield; see terrains/)
+    nhfield: Static[int]
+    hfield_nrow: Static[int]
+    hfield_ncol: Static[int]
 
     site_bodyid: Static[np.ndarray]
 
@@ -130,13 +138,21 @@ class Model:
     actuator_ctrllimited: Static[np.ndarray]
     actuator_forcelimited: Static[np.ndarray]
 
-    # constraint layout
+    # constraint layout: [equality][dof friction][limits][contacts]
     nefc: Static[int]
     nlimit: Static[int]
     ncon_max: Static[int]
+    rows_per_con: Static[int]  # 2*(max condim - 1) pyramidal rows per slot
     limit_jntid: Static[np.ndarray]  # (nlimit,) joint ids with limits
     efc_type: Static[np.ndarray]  # (nefc,)
     pairs: PairTable
+
+    # joint equality constraints (mjEQ_JOINT; reference gripper coupling)
+    neq_jnt: Static[int]
+    eq_j1_qadr: Static[np.ndarray]  # (neq_jnt,)
+    eq_j1_dofadr: Static[np.ndarray]
+    eq_j2_qadr: Static[np.ndarray]  # -1 when single-joint equality
+    eq_j2_dofadr: Static[np.ndarray]
 
     # names
     body_names: Static[tuple]
@@ -179,6 +195,13 @@ class Model:
     geom_gap: jax.Array
     site_pos: jax.Array
     site_quat: jax.Array
+    hfield_size: jax.Array  # (nhfield, 4): rx, ry, z_top, z_bottom
+    hfield_data: jax.Array  # (nrow, ncol) normalized [0, 1]
+    eq_polycoef: jax.Array  # (neq_jnt, 5)
+    eq_solref: jax.Array  # (neq_jnt, 2)
+    eq_solimp: jax.Array  # (neq_jnt, 5)
+    eq_q0_1: jax.Array  # (neq_jnt,) qpos0 of joint 1
+    eq_q0_2: jax.Array  # (neq_jnt,) qpos0 of joint 2
     actuator_gainprm: jax.Array
     actuator_biasprm: jax.Array
     actuator_ctrlrange: jax.Array
@@ -205,13 +228,20 @@ def put_model(
     """
     from mjlab_tpu.phys.collision import make_pair_table
 
-    if mj.ntendon or mj.neq:
-        raise NotImplementedError("tendons/equality constraints not yet supported")
+    if mj.ntendon:
+        raise NotImplementedError("tendons not yet supported")
+    eq_types = set(mj.eq_type.tolist()) if mj.neq else set()
+    if eq_types - {int(mujoco.mjtEq.mjEQ_JOINT)}:
+        raise NotImplementedError(
+            f"only joint equality constraints supported, got {eq_types}"
+        )
     if np.any(mj.actuator_actnum > 0) if hasattr(mj, "actuator_actnum") else mj.na:
         raise NotImplementedError("actuator activation dynamics not yet supported")
     unsupported_jnt = set(mj.jnt_type.tolist()) - {JNT_FREE, JNT_BALL, JNT_SLIDE, JNT_HINGE}
     if unsupported_jnt:
         raise NotImplementedError(f"joint types {unsupported_jnt}")
+    if mj.nhfield > 1:
+        raise NotImplementedError("at most one hfield (the terrain) is supported")
 
     def f(x):
         return jnp.asarray(np.asarray(x), dtype=dtype)
@@ -236,16 +266,46 @@ def put_model(
     limit_jntid = np.nonzero(mj.jnt_limited)[0].astype(np.int32)
     nlimit = len(limit_jntid)
     if int(mj.opt.cone) != CONE_PYRAMIDAL:
-        raise NotImplementedError("elliptic cone: follow-up (use pyramidal)")
+        warnings.warn(
+            "elliptic cone not yet implemented; falling back to the "
+            "pyramidal approximation"
+        )
     if nconmax is None:
         # heuristic ~ mjwarp's default regime; reference tasks set 35
         nconmax = 64
     ncon_max = int(min(pairs.ncon, nconmax))
-    nefc = mj.nv + nlimit + 4 * ncon_max
+    # pyramidal rows per compacted contact slot: 2*(condim-1), condim >= 3
+    maxdim = int(max(3, pairs.pair_condim.max() if len(pairs.pair_condim) else 3))
+    rows_per_con = 2 * (maxdim - 1)
+
+    # joint equality constraints
+    neq_jnt = int(mj.neq)
+    if neq_jnt:
+        eq_j1 = mj.eq_obj1id.astype(np.int32)
+        eq_j2 = mj.eq_obj2id.astype(np.int32)
+        single = eq_j2 < 0
+        eq_j1_qadr = mj.jnt_qposadr[eq_j1].astype(np.int32)
+        eq_j1_dofadr = mj.jnt_dofadr[eq_j1].astype(np.int32)
+        eq_j2_qadr = np.where(single, -1, mj.jnt_qposadr[np.maximum(eq_j2, 0)]).astype(np.int32)
+        eq_j2_dofadr = np.where(single, -1, mj.jnt_dofadr[np.maximum(eq_j2, 0)]).astype(np.int32)
+        eq_polycoef = mj.eq_data[:, :5].astype(np.float64)
+        eq_q0_1 = mj.qpos0[eq_j1_qadr]
+        eq_q0_2 = np.where(single, 0.0, mj.qpos0[np.maximum(eq_j2_qadr, 0)])
+        eq_solref_np = mj.eq_solref
+        eq_solimp_np = mj.eq_solimp
+    else:
+        eq_j1_qadr = eq_j1_dofadr = eq_j2_qadr = eq_j2_dofadr = np.zeros(0, np.int32)
+        eq_polycoef = np.zeros((0, 5))
+        eq_q0_1 = eq_q0_2 = np.zeros(0)
+        eq_solref_np = np.zeros((0, 2))
+        eq_solimp_np = np.zeros((0, 5))
+
+    nefc = neq_jnt + mj.nv + nlimit + rows_per_con * ncon_max
     efc_type = np.concatenate([
+        np.full(neq_jnt, EFC_EQUALITY, np.int32),
         np.full(mj.nv, EFC_FRICTION_DOF, np.int32),
         np.full(nlimit, EFC_LIMIT_JOINT, np.int32),
-        np.full(4 * ncon_max, EFC_CONTACT, np.int32),
+        np.full(rows_per_con * ncon_max, EFC_CONTACT, np.int32),
     ])
 
     return Model(
@@ -269,6 +329,10 @@ def put_model(
         geom_type=mj.geom_type.astype(np.int32),
         geom_condim=mj.geom_condim.astype(np.int32),
         geom_priority=mj.geom_priority.astype(np.int32),
+        geom_dataid=mj.geom_dataid.astype(np.int32),
+        nhfield=int(mj.nhfield),
+        hfield_nrow=int(mj.hfield_nrow[0]) if mj.nhfield else 0,
+        hfield_ncol=int(mj.hfield_ncol[0]) if mj.nhfield else 0,
         site_bodyid=mj.site_bodyid.astype(np.int32),
         actuator_trntype=mj.actuator_trntype.astype(np.int32),
         actuator_gaintype=mj.actuator_gaintype.astype(np.int32),
@@ -279,9 +343,15 @@ def put_model(
         nefc=nefc,
         nlimit=nlimit,
         ncon_max=ncon_max,
+        rows_per_con=rows_per_con,
         limit_jntid=limit_jntid,
         efc_type=efc_type,
         pairs=pairs,
+        neq_jnt=neq_jnt,
+        eq_j1_qadr=eq_j1_qadr,
+        eq_j1_dofadr=eq_j1_dofadr,
+        eq_j2_qadr=eq_j2_qadr,
+        eq_j2_dofadr=eq_j2_dofadr,
         body_names=_names(mj, mujoco.mjtObj.mjOBJ_BODY, mj.nbody),
         joint_names=_names(mj, mujoco.mjtObj.mjOBJ_JOINT, mj.njnt),
         geom_names=_names(mj, mujoco.mjtObj.mjOBJ_GEOM, mj.ngeom),
@@ -320,6 +390,17 @@ def put_model(
         geom_gap=f(mj.geom_gap),
         site_pos=f(mj.site_pos),
         site_quat=f(mj.site_quat),
+        eq_polycoef=f(eq_polycoef),
+        eq_solref=f(eq_solref_np),
+        eq_solimp=f(eq_solimp_np),
+        eq_q0_1=f(eq_q0_1),
+        eq_q0_2=f(eq_q0_2),
+        hfield_size=f(mj.hfield_size.reshape(-1, 4)),
+        hfield_data=(
+            f(mj.hfield_data.reshape(mj.hfield_nrow[0], mj.hfield_ncol[0]))
+            if mj.nhfield
+            else f(np.zeros((0, 0)))
+        ),
         actuator_gainprm=f(mj.actuator_gainprm),
         actuator_biasprm=f(mj.actuator_biasprm),
         actuator_ctrlrange=f(mj.actuator_ctrlrange),

@@ -89,6 +89,23 @@ class OnPolicyRunner:
         if self._learn_jit is None:
             self._learn_jit = jax.jit(self.ppo.learn_iteration, donate_argnums=0)
 
+        # multi-chip data parallelism (replaces reference torchrunx + NCCL,
+        # scripts/train.py:216-221): env batch sharded along a 'data' mesh
+        # axis over all chips, learner replicated; XLA emits the gradient
+        # psum over ICI/DCN inside the same jitted iteration.
+        devices = jax.devices()
+        if len(devices) > 1 and env.num_envs % len(devices) == 0:
+            from mjlab_tpu.parallel import (
+                make_env_mesh,
+                shard_env_state,
+                shard_train_state,
+            )
+
+            mesh = make_env_mesh(devices)
+            env_state = shard_env_state(env_state, mesh, env.num_envs)
+            obs = shard_env_state(obs, mesh, env.num_envs)
+            self.ppo_state = shard_train_state(self.ppo_state, mesh)
+
         carry = (self.ppo_state, env_state, obs)
         steps_per_iter = self.cfg.num_steps_per_env * env.num_envs
         for _ in range(n_iter):
@@ -97,6 +114,8 @@ class OnPolicyRunner:
             jax.block_until_ready(carry[0].params)
             dt = time.perf_counter() - t0
             self.iteration += 1
+            # keep the live state visible to save()/inference mid-training
+            self.ppo_state = carry[0]
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
             self._log(metrics, steps_per_iter / dt)
             if self.log_dir and self.iteration % self.cfg.save_interval == 0:

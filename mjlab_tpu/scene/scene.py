@@ -140,7 +140,7 @@ class Scene:
             sensor.initialize(mj_model, self.num_envs, keys[i], ctx)
             i += 1
         if self.terrain is not None:
-            self.terrain.initialize(self.num_envs)
+            self.terrain.initialize(self.num_envs, ctx)
 
     @property
     def env_origins(self) -> jax.Array:

@@ -17,6 +17,7 @@ def run_play(
     checkpoint_file: str | None = None,
     num_envs: int = 1,
     num_steps: int = 200,
+    viewer: str = "headless",
 ):
     import mjlab_tpu.tasks as tasks
     from mjlab_tpu.envs import ManagerBasedRlEnv
@@ -45,6 +46,28 @@ def run_play(
         def policy(obs):
             return jnp.zeros((num_envs, A))
 
+    if viewer in ("native", "viser", "auto"):
+        # interactive viewers (reference play.py:186-198): auto prefers the
+        # native GLFW window, falling back to the viser web UI
+        def launch(kind):
+            if kind == "native":
+                from mjlab_tpu.viewer.native import NativeMujocoViewer
+
+                return NativeMujocoViewer(env, lambda o: policy(o))
+            from mjlab_tpu.viewer.viser import ViserPlayViewer
+
+            return ViserPlayViewer(env, lambda o: policy(o))
+
+        if viewer == "auto":
+            try:
+                launch("native").run()
+                return
+            except RuntimeError:
+                launch("viser").run()
+                return
+        launch(viewer).run()
+        return
+
     obs = wrapped.get_observations()
     for t in range(num_steps):
         action = policy(obs)
@@ -64,8 +87,13 @@ def main():
     p.add_argument("--checkpoint-file", default=None)
     p.add_argument("--num-envs", type=int, default=1)
     p.add_argument("--num-steps", type=int, default=200)
+    p.add_argument(
+        "--viewer",
+        choices=["headless", "native", "viser", "auto"],
+        default="headless",
+    )
     a = p.parse_args()
-    run_play(a.task, a.agent, a.checkpoint_file, a.num_envs, a.num_steps)
+    run_play(a.task, a.agent, a.checkpoint_file, a.num_envs, a.num_steps, a.viewer)
 
 
 if __name__ == "__main__":

@@ -86,6 +86,15 @@ def run_train(
         log_dir = os.path.join("logs", agent_cfg.experiment_name, stamp)
     os.makedirs(log_dir, exist_ok=True)
 
+    # process-0-only config dumps (reference scripts/train.py:162-165)
+    import jax
+
+    if jax.process_index() == 0:
+        from mjlab_tpu.utils.os import dump_yaml
+
+        dump_yaml(os.path.join(log_dir, "params", "env.yaml"), env_cfg)
+        dump_yaml(os.path.join(log_dir, "params", "agent.yaml"), agent_cfg)
+
     env = ManagerBasedRlEnv(env_cfg)
     wrapped = RslRlVecEnvWrapper(env, clip_actions=agent_cfg.clip_actions)
     runner = runner_cls(wrapped, agent_cfg, log_dir=log_dir)

@@ -11,3 +11,6 @@ from mjlab_tpu.tasks.registry import (  # noqa: F401
 # task packages register on import
 from mjlab_tpu.tasks import velocity  # noqa: F401
 from mjlab_tpu.tasks import tracking  # noqa: F401
+from mjlab_tpu.tasks import jump  # noqa: F401
+from mjlab_tpu.tasks import jumping  # noqa: F401
+from mjlab_tpu.tasks import manipulation  # noqa: F401

@@ -1,7 +1,11 @@
 from functools import partial
 
 from mjlab_tpu.tasks.registry import register_mjlab_task
-from mjlab_tpu.tasks.velocity.config.g1.env_cfgs import unitree_g1_flat_env_cfg
+from mjlab_tpu.tasks.velocity.rl import VelocityOnPolicyRunner
+from mjlab_tpu.tasks.velocity.config.g1.env_cfgs import (
+    unitree_g1_flat_env_cfg,
+    unitree_g1_rough_env_cfg,
+)
 from mjlab_tpu.tasks.velocity.config.g1.rl_cfg import unitree_g1_ppo_runner_cfg
 
 register_mjlab_task(
@@ -9,4 +13,13 @@ register_mjlab_task(
     env_cfg=partial(unitree_g1_flat_env_cfg, play=False),
     play_env_cfg=partial(unitree_g1_flat_env_cfg, play=True),
     rl_cfg=unitree_g1_ppo_runner_cfg,
+    runner_cls=VelocityOnPolicyRunner,
+)
+
+register_mjlab_task(
+    "Mjlab-Velocity-Rough-Unitree-G1",
+    env_cfg=partial(unitree_g1_rough_env_cfg, play=False),
+    play_env_cfg=partial(unitree_g1_rough_env_cfg, play=True),
+    rl_cfg=unitree_g1_ppo_runner_cfg,
+    runner_cls=VelocityOnPolicyRunner,
 )

@@ -8,7 +8,8 @@ from mjlab_tpu.asset_zoo.robots.unitree_g1.g1_constants import (
     get_g1_robot_cfg,
 )
 from mjlab_tpu.envs.manager_based_rl_env import ManagerBasedRlEnvCfg
-from mjlab_tpu.managers.manager_term_config import RewardTermCfg
+from mjlab_tpu.envs.mdp import events as envs_mdp
+from mjlab_tpu.managers.manager_term_config import EventTermCfg, RewardTermCfg
 from mjlab_tpu.sensor.contact_sensor import ContactMatch, ContactSensorCfg
 from mjlab_tpu.tasks.velocity import mdp
 from mjlab_tpu.tasks.velocity.velocity_env_cfg import make_velocity_env_cfg
@@ -19,7 +20,8 @@ _FOOT_GEOMS = tuple(
 )
 
 
-def unitree_g1_flat_env_cfg(play: bool = False) -> ManagerBasedRlEnvCfg:
+def unitree_g1_rough_env_cfg(play: bool = False) -> ManagerBasedRlEnvCfg:
+    """G1 rough-terrain velocity config (reference config/g1/env_cfgs.py:20)."""
     cfg = make_velocity_env_cfg()
     cfg.scene.entities = {"robot": get_g1_robot_cfg()}
 
@@ -30,7 +32,7 @@ def unitree_g1_flat_env_cfg(play: bool = False) -> ManagerBasedRlEnvCfg:
             pattern=r"^(left_ankle_roll_link|right_ankle_roll_link)$",
             entity="robot",
         ),
-        secondary=ContactMatch(mode="body", pattern="world"),
+        secondary=ContactMatch(mode="body", pattern="terrain/terrain"),
         fields=("found", "force"),
         reduce="netforce",
         num_slots=1,
@@ -101,9 +103,34 @@ def unitree_g1_flat_env_cfg(play: bool = False) -> ManagerBasedRlEnvCfg:
         params={"sensor_name": "self_collision"},
     )
 
+    gen = cfg.scene.terrain.terrain_generator
     if play:
         cfg.episode_length_s = int(1e9)
         cfg.observations["policy"].enable_corruption = False
         cfg.events.pop("push_robot", None)
+        # play: varied small terrain, random per-reset sub-terrain
+        # (reference config/g1/env_cfgs.py:137-148)
+        cfg.events["randomize_terrain"] = EventTermCfg(
+            func=envs_mdp.randomize_terrain, mode="reset"
+        )
+        if gen is not None:
+            gen.curriculum = False
+            gen.num_rows = 5
+            gen.num_cols = 5
+            gen.border_width = 10.0
+    else:
+        if gen is not None:
+            gen.curriculum = True
 
+    return cfg
+
+
+def unitree_g1_flat_env_cfg(play: bool = False) -> ManagerBasedRlEnvCfg:
+    """Flat variant: plane terrain, no terrain curriculum
+    (reference config/g1/env_cfgs.py:153-166)."""
+    cfg = unitree_g1_rough_env_cfg(play=play)
+    cfg.scene.terrain.terrain_type = "plane"
+    cfg.scene.terrain.terrain_generator = None
+    del cfg.curriculum["terrain_levels"]
+    cfg.events.pop("randomize_terrain", None)
     return cfg

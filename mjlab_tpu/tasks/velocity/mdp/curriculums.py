@@ -36,10 +36,12 @@ def commands_vel(env, env_mask, command_name: str, velocity_stages: list[dict]):
 def terrain_levels_vel(
     env, env_mask, command_name: str, asset_cfg: SceneEntityCfg = _DEFAULT
 ):
-    """Terrain level promotion by distance walked (plane terrain: no-op,
-    returns 0; full generator terrain support is a follow-up)."""
+    """Terrain level promotion by distance walked (reference
+    velocity/mdp/curriculums.py:30-64): envs that cross half a sub-terrain
+    move up a difficulty row; envs that cover less than half their
+    commanded distance move down. Plane terrain: no-op, returns 0."""
     terrain = env.scene.terrain
-    if terrain is None or terrain.terrain_levels is None:
+    if terrain is None or terrain.generator is None:
         return jnp.zeros((), jnp.float32)
     asset = env.scene[asset_cfg.name]
     command = env.command_manager.get_command(command_name)
@@ -52,5 +54,5 @@ def terrain_levels_vel(
         dist
         < jnp.linalg.norm(command[:, :2], axis=1) * env.max_episode_length_s * 0.5
     ) & ~move_up
-    terrain.update_env_origins(env_mask, move_up, move_down)
+    terrain.update_env_origins(env_mask, move_up, move_down, env.ctx.next_key())
     return jnp.mean(terrain.terrain_levels.astype(jnp.float32))

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import copy
 import math
 
 from mjlab_tpu.envs.manager_based_rl_env import (
@@ -23,6 +24,7 @@ from mjlab_tpu.scene.scene import SceneCfg
 from mjlab_tpu.sim.sim import MujocoCfg, SimulationCfg
 from mjlab_tpu.tasks.velocity import mdp
 from mjlab_tpu.tasks.velocity.mdp import UniformVelocityCommandCfg
+from mjlab_tpu.terrains.config import ROUGH_TERRAINS_CFG
 from mjlab_tpu.terrains.importer import TerrainImporterCfg
 from mjlab_tpu.utils.noise import UniformNoiseCfg as Unoise
 
@@ -254,6 +256,10 @@ def make_velocity_env_cfg() -> ManagerBasedRlEnvCfg:
     }
 
     curriculum = {
+        "terrain_levels": CurriculumTermCfg(
+            func=mdp.terrain_levels_vel,
+            params={"command_name": "twist"},
+        ),
         "command_vel": CurriculumTermCfg(
             func=mdp.commands_vel,
             params={
@@ -267,9 +273,16 @@ def make_velocity_env_cfg() -> ManagerBasedRlEnvCfg:
         ),
     }
 
+    # base config is rough terrain (reference velocity_env_cfg.py:320-323);
+    # flat robot variants switch terrain_type to "plane" and delete the
+    # terrain_levels curriculum.
     return ManagerBasedRlEnvCfg(
         scene=SceneCfg(
-            terrain=TerrainImporterCfg(terrain_type="plane"),
+            terrain=TerrainImporterCfg(
+                terrain_type="generator",
+                terrain_generator=copy.deepcopy(ROUGH_TERRAINS_CFG),
+                max_init_terrain_level=5,
+            ),
             num_envs=1,
             extent=2.0,
         ),

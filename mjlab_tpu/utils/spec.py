@@ -118,9 +118,33 @@ def auto_wrap_fixed_base_mocap(
 
     def wrapped() -> mujoco.MjSpec:
         spec = spec_fn()
+        has_free = any(
+            j.type == mujoco.mjtJoint.mjJNT_FREE for j in spec.joints
+        )
+        if has_free:
+            return spec
         bodies = [b for b in spec.worldbody.bodies]
+        if bodies and bodies[0].mocap:
+            return spec
         if len(bodies) == 1 and not spec.joints:
             bodies[0].mocap = True
-        return spec
+            return spec
+        # articulated fixed-base: wrap the whole entity in a mocap parent
+        # body so its base pose is writable per env (reference
+        # utils/spec.py:26-50). Keyframes are re-created on the wrapper.
+        import numpy as np
+
+        keyframes = [
+            (np.array(k.qpos), np.array(k.ctrl), k.name) for k in spec.keys
+        ]
+        for k in list(spec.keys):
+            spec.delete(k)
+        wrapper = mujoco.MjSpec()
+        mocap_body = wrapper.worldbody.add_body(name="mocap_base", mocap=True)
+        frame = mocap_body.add_frame()
+        wrapper.attach(child=spec, prefix="", frame=frame)
+        for qpos, ctrl, name in keyframes:
+            wrapper.add_key(name=name, qpos=qpos, ctrl=ctrl)
+        return wrapper
 
     return wrapped
