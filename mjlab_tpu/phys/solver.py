@@ -24,7 +24,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mjlab_tpu.phys.model import EFC_EQUALITY, EFC_FRICTION_DOF, Model
+from mjlab_tpu.phys.model import (
+    EFC_CONTACT,
+    EFC_EQUALITY,
+    EFC_FRICTION_DOF,
+    EFC_LIMIT_JOINT,
+    Model,
+)
 from mjlab_tpu.phys.data import Data
 
 _EPS = 1e-12
@@ -110,7 +116,7 @@ def _cost(m: Model, jar, D, fl, is_friction, is_eq):
     )
 
 
-def solve(m: Model, d: Data) -> Data:
+def _solve_impl(m: Model, d: Data) -> Data:
     """Newton solve for constrained qacc. Single world; vmap for batching."""
     dtype = d.qpos.dtype
     nv = m.nv
@@ -131,14 +137,34 @@ def solve(m: Model, d: Data) -> Data:
     is_friction = jnp.asarray(m.efc_type == EFC_FRICTION_DOF)
     is_eq = jnp.asarray(m.efc_type == EFC_EQUALITY)
 
-    def total_cost(x):
-        jar = J @ x - aref
+    def cost_from_jar(x, jar):
         dx = x - a_smooth
         return 0.5 * dx @ (M @ dx) + _cost(m, jar, D, fl, is_friction, is_eq)
 
+    def total_cost(x):
+        return cost_from_jar(x, J @ x - aref)
+
     # init: better of warmstart and qacc_smooth
     x_ws = d.qacc_warmstart
-    x0 = jnp.where(total_cost(x_ws) < total_cost(a_smooth), x_ws, a_smooth)
+    jar_ws = J @ x_ws - aref
+    jar_sm = J @ a_smooth - aref
+    cost_ws = cost_from_jar(x_ws, jar_ws)
+    cost_sm = cost_from_jar(a_smooth, jar_sm)
+    ws_better = cost_ws < cost_sm
+    x0 = jnp.where(ws_better, x_ws, a_smooth)
+    jar0 = jnp.where(ws_better, jar_ws, jar_sm)
+    cost0 = jnp.where(ws_better, cost_ws, cost_sm)
+
+    # static row classes for the line-search breakpoint set: one-sided rows
+    # (limits + contact pyramids) contribute 1 breakpoint, dof-friction
+    # rows 2, equality rows none — sorting only those beats sorting 2*nefc
+    # padded slots.
+    import numpy as _np
+
+    _os_idx = _np.nonzero(
+        (m.efc_type == EFC_LIMIT_JOINT) | (m.efc_type == EFC_CONTACT)
+    )[0]
+    _fr_idx = _np.nonzero(m.efc_type == EFC_FRICTION_DOF)[0]
 
     def exact_linesearch(jar, v, q1, q2):
         """Closed-form minimizer of the piecewise-quadratic restriction
@@ -172,40 +198,35 @@ def solve(m: Model, d: Data) -> Data:
         # rows constant in a (v ~ 0) keep their a=0 contribution in P0
         Q0 = q2 + jnp.sum(jnp.where(quad0 & has_v, D * v * v, 0.0))
 
-        # breakpoint set (2 slots per row)
+        # breakpoint set, gathered per static row class
         dvj = D * v * jar
         dvv = D * v * v
         # one-sided rows: single breakpoint at -jar/v, delta = -sgn * (quad terms)
-        a_os = -jar / safe_v
-        dc_os = -sgn * dvj
-        ds_os = -sgn * dvv
+        a_os = (-jar / safe_v)[_os_idx]
+        dc_os = (-sgn * dvj)[_os_idx]
+        ds_os = (-sgn * dvv)[_os_idx]
+        v_os = has_v[_os_idx]
         # friction rows: quad zone between the two band crossings
-        band = fl / jnp.maximum(D, _EPS)
-        b1 = (-band - jar) / safe_v
-        b2 = (band - jar) / safe_v
+        Df, flf = D[_fr_idx], fl[_fr_idx]
+        jarf, vf = jar[_fr_idx], safe_v[_fr_idx]
+        band = flf / jnp.maximum(Df, _EPS)
+        b1 = (-band - jarf) / vf
+        b2 = (band - jarf) / vf
         a_lo = jnp.minimum(b1, b2)
         a_hi = jnp.maximum(b1, b2)
-        absv = jnp.abs(v)
-        dc_lo = dvj + absv * fl
-        ds_lo = dvv
-        dc_hi = absv * fl - dvj
-        ds_hi = -dvv
-
-        a1 = jnp.where(is_friction, a_lo, a_os)
-        dc1 = jnp.where(is_friction, dc_lo, dc_os)
-        ds1 = jnp.where(is_friction, ds_lo, ds_os)
-        a2 = jnp.where(is_friction, a_hi, inf)
-        dc2 = jnp.where(is_friction, dc_hi, 0.0)
-        ds2 = jnp.where(is_friction, ds_hi, 0.0)
-
-        ak = jnp.concatenate([a1, a2])
-        dck = jnp.concatenate([dc1, dc2])
-        dsk = jnp.concatenate([ds1, ds2])
+        absv = jnp.abs(v)[_fr_idx]
+        dvjf, dvvf = dvj[_fr_idx], dvv[_fr_idx]
+        dc_lo = dvjf + absv * flf
+        ds_lo = dvvf
+        dc_hi = absv * flf - dvjf
+        ds_hi = -dvvf
         # friction rows with D ~ 0 never leave the quadratic zone
-        fr_ok = is_friction & (D > _EPS)
-        # equality rows are quadratic everywhere: no breakpoints
-        valid1 = jnp.where(is_friction, fr_ok, has_v & ~is_eq) & has_v
-        valid = jnp.concatenate([valid1, has_v & fr_ok]) & (ak > 0)
+        v_fr = has_v[_fr_idx] & (Df > _EPS)
+
+        ak = jnp.concatenate([a_os, a_lo, a_hi])
+        dck = jnp.concatenate([dc_os, dc_lo, dc_hi])
+        dsk = jnp.concatenate([ds_os, ds_lo, ds_hi])
+        valid = jnp.concatenate([v_os, v_fr, v_fr]) & (ak > 0)
         ak = jnp.where(valid, ak, inf)
         dck = jnp.where(valid, dck, 0.0)
         dsk = jnp.where(valid, dsk, 0.0)
@@ -233,9 +254,11 @@ def solve(m: Model, d: Data) -> Data:
         alpha = jnp.where((P0 >= 0) | (q2 <= _EPS), 0.0, alpha)
         return jnp.maximum(alpha, 0.0)
 
-    def newton_iter(carry, _):
-        x, done = carry
-        jar = J @ x - aref
+    def newton_iter(carry):
+        # jar = J x - aref is carried across iterations and updated
+        # incrementally (jar += alpha * J dx), saving two J-sized matvec
+        # passes per iteration — J dominates the solver's memory traffic.
+        i, x, jar, cost_x, done = carry
         force, quad = _row_forces(m, jar, D, fl, is_friction, is_eq)
         grad = M @ (x - a_smooth) - J.T @ force
         Dq = jnp.where(quad, D, 0.0)
@@ -250,17 +273,30 @@ def solve(m: Model, d: Data) -> Data:
         # the acceptance check below additionally rejects any step whose
         # f32 linear solve went bad (non-finite or ascent). Converged
         # worlds freeze (MuJoCo's gradient-tolerance exit, masked instead
-        # of early-exited to stay static-shape).
+        # of early-exited to stay static-shape). Cost is carried so the
+        # guard needs ONE evaluation per iteration.
         step = jnp.where(done, 0.0, alpha)
         x_new = x + step * dx
-        ok = jnp.isfinite(x_new).all() & (total_cost(x_new) < total_cost(x))
+        jar_new = jar + step * v
+        cost_new = cost_from_jar(x_new, jar_new)
+        ok = jnp.isfinite(cost_new) & (cost_new < cost_x)
         x = jnp.where(ok, x_new, x)
+        jar = jnp.where(ok, jar_new, jar)
+        cost_x = jnp.where(ok, cost_new, cost_x)
         done = done | (jnp.linalg.norm(grad) < m.opt.tolerance * nv) | ~ok
-        return (x, done), None
+        return (i + 1, x, jar, cost_x, done)
 
+    # while_loop instead of a fixed-length scan: under vmap this batches to
+    # "iterate until EVERY world converged or iterations exhausted" — with
+    # warmstarting, steady-state batches converge in 2-4 iterations, so the
+    # average step runs a fraction of opt.iterations (the reference's
+    # mjwarp solver has the same data-dependent exit).
     done0 = jnp.zeros((), bool)
-    (x, _), _ = jax.lax.scan(
-        newton_iter, (x0, done0), None, length=m.opt.iterations
+    i0 = jnp.zeros((), jnp.int32)
+    _, x, _, _, _ = jax.lax.while_loop(
+        lambda c: (c[0] < m.opt.iterations) & ~c[4],
+        newton_iter,
+        (i0, x0, jar0, cost0, done0),
     )
 
     jar = J @ x - aref
@@ -298,3 +334,98 @@ def solve(m: Model, d: Data) -> Data:
         qacc_warmstart=x,
         con_force=con_force,
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched dispatch: vmap(solve) routes to the fused Pallas TPU kernel when
+# the batch shape and backend allow; anything else (CPU CI, odd batch
+# sizes, f64 parity runs) falls back to vmapping the pure implementation.
+# Call sites never change — jax.vmap(solve, ...) IS the dispatcher.
+# ---------------------------------------------------------------------------
+
+import jax.custom_batching as _custom_batching
+
+
+def _decode_contact_forces_batched(m: Model, d: Data, force):
+    """Batched mj_contactForce decode (mirrors the tail of _solve_impl)."""
+    K = m.ncon_max
+    R = m.rows_per_con
+    if not (K and m.pairs.ncon):
+        return d.con_force
+    E = force.shape[0]
+    base = m.neq_jnt + m.nv + m.nlimit
+    rows = force[:, base : base + R * K].reshape(E, K, R)
+    sel = d.con_sel  # (E, K)
+    mu = jnp.take_along_axis(d.contact.friction, sel[..., None], axis=1)
+    dim_k = jnp.asarray(m.pairs.con_dim)[sel]
+    mu1 = jnp.where(dim_k == 1, 0.0, mu[..., 0])
+    mu2 = jnp.where(dim_k == 1, 0.0, mu[..., 1])
+    fn = jnp.sum(rows, axis=-1)
+    ft1 = mu1 * (rows[..., 0] - rows[..., 1])
+    ft2 = mu2 * (rows[..., 2] - rows[..., 3])
+    fc = jnp.stack([fn, ft1, ft2], axis=-1)  # (E, K, 3)
+    frame = jnp.take_along_axis(
+        d.contact.frame, sel[..., None, None], axis=1
+    )  # (E, K, 3, 3)
+    fw = jnp.einsum("ekf,ekfx->ekx", fc, frame)
+    fw = jnp.where(d.con_sel_active[..., None], fw, 0.0)
+    e_idx = jnp.arange(E)[:, None]
+    return jnp.zeros_like(d.con_force).at[e_idx, sel].set(fw)
+
+
+def _solve_batched_pallas(m: Model, d: Data) -> Data:
+    from mjlab_tpu.phys.solver_pallas import newton_solve_pallas
+
+    os_mask = tuple(
+        bool(b)
+        for b in (m.efc_type == EFC_LIMIT_JOINT) | (m.efc_type == EFC_CONTACT)
+    )
+    fr_mask = tuple(bool(b) for b in m.efc_type == EFC_FRICTION_DOF)
+    eq_mask = tuple(bool(b) for b in m.efc_type == EFC_EQUALITY)
+    x, force = newton_solve_pallas(
+        d.efc_J, d.efc_D, d.efc_aref, d.efc_frictionloss,
+        d.qM, d.qacc_smooth, d.qacc_warmstart,
+        nv=m.nv, nefc=m.nefc,
+        os_mask=os_mask, fr_mask=fr_mask, eq_mask=eq_mask,
+        iterations=m.opt.iterations,
+        ls_iterations=max(m.opt.ls_iterations, 8),
+        tolerance=float(m.opt.tolerance),
+    )
+    qfrc_constraint = jnp.einsum("eri,er->ei", d.efc_J, force)
+    con_force = _decode_contact_forces_batched(m, d, force)
+    return d.replace(
+        qacc=x,
+        efc_force=force,
+        qfrc_constraint=qfrc_constraint,
+        qacc_warmstart=x,
+        con_force=con_force,
+    )
+
+
+@_custom_batching.custom_vmap
+def solve(m: Model, d: Data) -> Data:
+    return _solve_impl(m, d)
+
+
+@solve.def_vmap
+def _solve_vmap_rule(axis_size, in_batched, m, d):
+    import os as _os
+
+    m_batched, d_batched = in_batched
+    mode = _os.environ.get("MJLAB_TPU_SOLVER", "auto")  # auto|pure|pallas
+    use_pallas = (
+        mode != "pure"
+        and (jax.default_backend() == "tpu" or mode == "pallas")
+        and axis_size % 128 == 0
+        and d.qpos.dtype == jnp.float32
+        and m.nefc > 0
+        and all(jax.tree_util.tree_leaves(d_batched))
+    )
+    if use_pallas:
+        out = _solve_batched_pallas(m, d)
+    else:
+        m_axes = jax.tree_util.tree_map(lambda b: 0 if b else None, m_batched)
+        d_axes = jax.tree_util.tree_map(lambda b: 0 if b else None, d_batched)
+        out = jax.vmap(_solve_impl, in_axes=(m_axes, d_axes))(m, d)
+    out_batched = jax.tree_util.tree_map(lambda _: True, out)
+    return out, out_batched

@@ -14,7 +14,7 @@ from mjlab_tpu.sensor.contact_sensor import ContactMatch, ContactSensorCfg
 from mjlab_tpu.tasks.velocity.velocity_env_cfg import make_velocity_env_cfg
 
 _FOOT_GEOMS = tuple(f"{leg}_foot_collision" for leg in ("FR", "FL", "RR", "RL"))
-_FOOT_SITES = tuple(f"{leg}_foot" for leg in ("FR", "FL", "RR", "RL"))
+_FOOT_SITES = ("FR", "FL", "RR", "RL")
 
 
 def unitree_go1_rough_env_cfg(play: bool = False) -> ManagerBasedRlEnvCfg:

@@ -91,6 +91,7 @@ def create_velocity_actuator(
     effort_limit: float | None = None,
     armature: float = 0.0,
     frictionloss: float = 0.0,
+    inheritrange: float = 1.0,
 ) -> mujoco.MjsActuator:
     a = spec.add_actuator(name=joint_name, target=joint_name)
     a.trntype = mujoco.mjtTrn.mjTRN_JOINT
@@ -99,7 +100,19 @@ def create_velocity_actuator(
     a.biastype = mujoco.mjtBias.mjBIAS_AFFINE
     a.gainprm[0] = damping
     a.biasprm[2] = -damping
-    a.ctrllimited = True
+    # The reference (utils/spec.py:186) sets inheritrange, but MuJoCo
+    # doesn't support inheritrange for the velocity gain/bias pattern
+    # (schema rejects it; spec.compile leaves ctrlrange empty and errors).
+    # Resolve the range explicitly from the joint range instead.
+    jnt = spec.joint(joint_name)
+    if is_joint_limited(jnt):
+        a.ctrllimited = True
+        a.ctrlrange[:] = (
+            inheritrange * jnt.range[0],
+            inheritrange * jnt.range[1],
+        )
+    else:
+        a.ctrllimited = False
     if effort_limit is not None:
         a.forcelimited = True
         a.forcerange[:] = (-effort_limit, effort_limit)
