@@ -27,6 +27,7 @@ from mjlab_tpu.phys.kinematics import com_pos, kinematics
 from mjlab_tpu.phys.collision import collision
 from mjlab_tpu.phys.constraint import make_constraint
 from mjlab_tpu.phys.solver import solve
+from mjlab_tpu.phys import linalg
 from mjlab_tpu.phys import smooth
 
 
@@ -108,8 +109,7 @@ def _euler_qacc(m: Model, d: Data) -> jax.Array:
         return d.qacc
     h = m.opt.timestep
     Mh = d.qM + h * jnp.diag(m.dof_damping)
-    L = jnp.linalg.cholesky(Mh)
-    return jax.scipy.linalg.cho_solve((L, True), d.qM @ d.qacc)
+    return linalg.chol_solve(linalg.chol_factor(Mh), d.qM @ d.qacc)
 
 
 def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
@@ -119,8 +119,7 @@ def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
     if m.nu:
         dfdv = _actuator_vel_deriv(m, d)
         Mh = Mh - h * (d.actuator_moment.T * dfdv) @ d.actuator_moment
-    L = jnp.linalg.cholesky(Mh)
-    return jax.scipy.linalg.cho_solve((L, True), d.qM @ d.qacc)
+    return linalg.chol_solve(linalg.chol_factor(Mh), d.qM @ d.qacc)
 
 
 def step(m: Model, d: Data) -> Data:

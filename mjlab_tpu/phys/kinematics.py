@@ -138,36 +138,37 @@ def com_pos(m: Model, d: Data) -> Data:
     cvec = d.xipos - root_com
     cinert = math.spatial_inertia(m.body_mass, inertia_c, cvec)
 
-    # cdof
-    cdof = jnp.zeros((m.nv, 6), dtype)
+    # cdof: build rows in dof order and concatenate ONCE — scatter-free
+    # (batched .at[row].set lowers to per-row dynamic-update-slices whose
+    # copies dominated this stage on TPU). MuJoCo dof order follows joint
+    # order, so appending per-joint row blocks reproduces vadr layout.
+    rows = []
     for j in range(m.njnt):
         jtype = int(m.jnt_type[j])
-        vadr = int(m.jnt_dofadr[j])
         b = int(m.jnt_bodyid[j])
         O = subtree_com[int(m.body_rootid[b])]
         if jtype == JNT_FREE:
-            for i in range(3):
-                cdof = cdof.at[vadr + i, 3 + i].set(jnp.asarray(1.0, dtype))
+            eye = jnp.eye(3, dtype=dtype)
+            rows.append(jnp.concatenate([jnp.zeros((3, 3), dtype), eye], axis=1))
             offset = O - d.xpos[b]
-            for i in range(3):
-                ax = d.xmat[b, :, i]
-                cdof = cdof.at[vadr + 3 + i].set(
-                    jnp.concatenate([ax, jnp.cross(ax, offset)])
-                )
+            ax = d.xmat[b].T  # (3 axes, 3)
+            rows.append(jnp.concatenate([ax, jnp.cross(ax, offset)], axis=1))
         elif jtype == JNT_BALL:
             offset = O - d.xanchor[j]
-            for i in range(3):
-                ax = d.xmat[b, :, i]
-                cdof = cdof.at[vadr + i].set(
-                    jnp.concatenate([ax, jnp.cross(ax, offset)])
-                )
+            ax = d.xmat[b].T
+            rows.append(jnp.concatenate([ax, jnp.cross(ax, offset)], axis=1))
         elif jtype == JNT_SLIDE:
-            cdof = cdof.at[vadr].set(
-                jnp.concatenate([jnp.zeros(3, dtype), d.xaxis[j]])
+            rows.append(
+                jnp.concatenate([jnp.zeros(3, dtype), d.xaxis[j]])[None]
             )
         elif jtype == JNT_HINGE:
             ax = d.xaxis[j]
             offset = O - d.xanchor[j]
-            cdof = cdof.at[vadr].set(jnp.concatenate([ax, jnp.cross(ax, offset)]))
+            rows.append(jnp.concatenate([ax, jnp.cross(ax, offset)])[None])
+    cdof = (
+        jnp.concatenate(rows, axis=0)
+        if rows
+        else jnp.zeros((m.nv, 6), dtype)
+    )
 
     return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)

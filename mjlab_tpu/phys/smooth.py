@@ -25,6 +25,7 @@ from mjlab_tpu.phys.model import (
     DSBL_GRAVITY,
 )
 from mjlab_tpu.phys.data import Data
+from mjlab_tpu.phys import linalg
 
 _ancestor_mask_cache: dict[int, np.ndarray] = {}
 
@@ -45,22 +46,64 @@ def ancestor_dof_mask(m: Model) -> np.ndarray:
     return W
 
 
+_crb_static_cache: dict[int, tuple] = {}
+
+
+def _crb_static(m: Model):
+    """Host-side static structure for CRBA: subtree membership matrix
+    (nbody, nbody), per-dof body id, and the dof-level ancestor-pair mask
+    U[i, j] = 1 iff dof i is on the chain from world to dof j's body."""
+    key = id(m.body_parentid)
+    if key in _crb_static_cache:
+        return _crb_static_cache[key]
+    S = np.zeros((m.nbody, m.nbody), np.float64)  # S[b, c]: c in subtree(b)
+    for c in range(m.nbody - 1, -1, -1):
+        S[c, c] = 1.0
+        if c:
+            S[int(m.body_parentid[c])] += S[c]
+    dof_body = np.zeros(m.nv, np.int32)
+    for b in range(m.nbody):
+        adr, num = int(m.body_dofadr[b]), int(m.body_dofnum[b])
+        dof_body[adr : adr + num] = b
+    W = ancestor_dof_mask(m)  # (nbody, nv)
+    U = W[dof_body].T  # (nv_i, nv_j): i on chain to body(j)
+    # keep i <= j only (dof order is topological): same-body dof pairs
+    # appear in both orientations and would otherwise double-count
+    U = np.triu(U)
+    out = (S, dof_body, U)
+    _crb_static_cache[key] = out
+    return out
+
+
 def crb(m: Model, d: Data) -> Data:
-    """Dense joint-space inertia matrix qM and its Cholesky factor qLD."""
-    W = jnp.asarray(ancestor_dof_mask(m), d.qpos.dtype)  # (nbody, nv)
-    # per-body masked jacobian J_b = W_b * cdof : (nbody, nv, 6)
-    J = W[:, :, None] * d.cdof[None, :, :]
-    IJ = jnp.einsum("bkl,bjl->bjk", d.cinert, J)  # (nbody, nv, 6)
-    qM = jnp.einsum("bik,bjk->ij", J, IJ)
+    """Dense joint-space inertia matrix qM and its Cholesky factor qLD.
+
+    Classic composite-rigid-body form (mj_crb semantics): accumulate
+    subtree spatial inertias I_c, then M[i, j] = cdof_i . (I_c(body_j)
+    cdof_j) for ancestor pairs. O(nbody^2 + nv^2) tiny batched matmuls —
+    ~100x less memory traffic than the per-body masked-Jacobian einsum."""
+    dtype = d.qpos.dtype
+    S, dof_body, U = _crb_static(m)
+    nb = m.nbody
+    # composite (subtree) inertia per body: one (nbody, nbody) matmul
+    Ic = jnp.einsum(
+        "bc,ckl->bkl", jnp.asarray(S, dtype), d.cinert
+    )  # (nbody, 6, 6)
+    # f_j = I_c[body(j)] cdof_j : (nv, 6)
+    Ic_dof = Ic[jnp.asarray(dof_body)]  # (nv, 6, 6)
+    f = jnp.einsum("jkl,jl->jk", Ic_dof, d.cdof)
+    full = d.cdof @ f.T  # (nv, nv): cdof_i . f_j
+    Um = jnp.asarray(U, dtype)
+    upper = full * Um  # valid where i is ancestor-or-self of j
+    qM = upper + upper.T - jnp.diag(jnp.diagonal(upper))
     qM = qM + jnp.diag(m.dof_armature)
-    qLD = jnp.linalg.cholesky(qM)
+    qLD = linalg.chol_factor(qM)
     return d.replace(qM=qM, qLD=qLD)
 
 
 def solve_m(d: Data, x: jax.Array) -> jax.Array:
     """Solve M y = x using the cached Cholesky factor."""
-    y = jax.scipy.linalg.solve_triangular(d.qLD, x, lower=True)
-    return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+    return linalg.chol_solve(d.qLD, x)
 
 
 def com_vel(m: Model, d: Data) -> Data:
