@@ -103,6 +103,16 @@ def make_pair_table(mj: mujoco.MjModel):
     if skipped:
         warnings.warn(f"unsupported collision type pairs skipped: {sorted(skipped)}")
 
+    # sort pairs by type-pair so each narrowphase group owns a contiguous
+    # contact-slot range — collision() then assembles results by
+    # concatenation instead of batched scatters
+    order = sorted(
+        range(len(g1s)),
+        key=lambda p: (int(mj.geom_type[g1s[p]]), int(mj.geom_type[g2s[p]])),
+    )
+    g1s = [g1s[p] for p in order]
+    g2s = [g2s[p] for p in order]
+
     geom1 = np.array(g1s, np.int32)
     geom2 = np.array(g2s, np.int32)
     npair = len(g1s)
@@ -644,18 +654,20 @@ def collision(m, d):
 
     friction5, solref, solimp, margin, gap = pair_params(m)
 
-    dist = jnp.zeros((ncon,), dtype)
-    pos = jnp.zeros((ncon, 3), dtype)
-    frame = jnp.zeros((ncon, 3, 3), dtype)
-
-    # group pairs by type-pair (static grouping)
+    # group pairs by type-pair; the pair table is sorted by type-pair at
+    # build time, so iterating groups in sorted key order visits contact
+    # slots contiguously and results concatenate in slot order
     type1 = m.geom_type[pt.geom1]
     type2 = m.geom_type[pt.geom2]
     keys = {}
     for p in range(len(pt.geom1)):
         keys.setdefault((int(type1[p]), int(type2[p])), []).append(p)
 
-    for key, plist in keys.items():
+    dist_b, pos_b, frame_b = [], [], []
+    expected_adr = 0
+    for key in sorted(keys):
+        plist = keys[key]
+        assert pt.pair_conadr[plist[0]] == expected_adr, "pair table not sorted"
         pidx = np.array(plist, np.int32)
         g1 = pt.geom1[pidx]
         g2 = pt.geom2[pidx]
@@ -673,13 +685,13 @@ def collision(m, d):
                 d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
             )
         k = dd.shape[-1]
-        # contact slot indices for these pairs (static)
-        slots = np.concatenate(
-            [np.arange(pt.pair_conadr[p], pt.pair_conadr[p] + k) for p in plist]
-        ).astype(np.int32)
-        dist = dist.at[slots].set(dd.reshape(-1))
-        pos = pos.at[slots].set(pp.reshape(-1, 3))
-        frame = frame.at[slots].set(nn.reshape(-1, 3, 3))
+        expected_adr += k * len(plist)
+        dist_b.append(dd.reshape(-1))
+        pos_b.append(pp.reshape(-1, 3))
+        frame_b.append(nn.reshape(-1, 3, 3))
+    dist = jnp.concatenate(dist_b)
+    pos = jnp.concatenate(pos_b)
+    frame = jnp.concatenate(frame_b)
 
     cp = pt.con_pairid
     contact = d.contact.replace(

@@ -81,21 +81,24 @@ def _efc_kbid(solref, solimp, pos, diag_approx):
 
 
 def make_constraint(m: Model, d: Data) -> Data:
-    """Fill efc_J/D/aref/pos/frictionloss/active (+ contact selection).
+    """Fill structured efc blocks (+ contact selection).
 
-    Row layout: [joint equality][dof friction][joint limits][contacts]."""
+    Row layout: [joint equality][dof friction][joint limits][contacts].
+    Per-row arrays (D/aref/pos/margin/frictionloss/active) are built as
+    per-class blocks and concatenated ONCE — no batched scatters. The
+    Jacobian is stored structurally: efc_Jeq (dense, tiny), the friction
+    block is the identity (implicit), efc_lim_side holds each limit row's
+    single signed entry (its dof address is static), efc_Jc is the dense
+    contact block. The solver exploits this structure directly."""
     dtype = d.qpos.dtype
-    nv, nefc = m.nv, m.nefc
+    nv = m.nv
     neq = m.neq_jnt
-    J = jnp.zeros((nefc, nv), dtype)
-    D = jnp.zeros((nefc,), dtype)
-    aref = jnp.zeros((nefc,), dtype)
-    pos_out = jnp.zeros((nefc,), dtype)
-    margin_out = jnp.zeros((nefc,), dtype)
-    fl_out = jnp.zeros((nefc,), dtype)
-    active = jnp.zeros((nefc,), bool)
+    nlimit = m.nlimit
+    zerov = jnp.zeros((0,), dtype)
+    D_b, aref_b, pos_b, margin_b, fl_b, act_b = [], [], [], [], [], []
 
     # ---- joint equality rows [0, neq) (mjEQ_JOINT; bilateral soft) ----
+    Jeq = jnp.zeros((neq, nv), dtype)
     if neq:
         q1 = d.qpos[m.eq_j1_qadr] - m.eq_q0_1
         has_j2 = jnp.asarray(m.eq_j2_qadr >= 0)
@@ -113,8 +116,8 @@ def make_constraint(m: Model, d: Data) -> Data:
         )
         pos_eq = q1 - poly
         rows = jnp.arange(neq)
-        J = J.at[rows, jnp.asarray(m.eq_j1_dofadr)].set(1.0)
-        J = J.at[rows, jnp.maximum(jnp.asarray(m.eq_j2_dofadr), 0)].add(
+        Jeq = Jeq.at[rows, jnp.asarray(m.eq_j1_dofadr)].set(1.0)
+        Jeq = Jeq.at[rows, jnp.maximum(jnp.asarray(m.eq_j2_dofadr), 0)].add(
             jnp.where(has_j2, -dpoly, 0.0)
         )
         iw = (
@@ -134,23 +137,26 @@ def make_constraint(m: Model, d: Data) -> Data:
                 0.0,
             )
         )
-        aref = aref.at[:neq].set(-b * vel - k * imp * pos_eq)
-        D = D.at[:neq].set(De)
-        pos_out = pos_out.at[:neq].set(pos_eq)
-        active = active.at[:neq].set(True)
+        D_b.append(De)
+        aref_b.append(-b * vel - k * imp * pos_eq)
+        pos_b.append(pos_eq)
+        margin_b.append(jnp.zeros((neq,), dtype))
+        fl_b.append(jnp.zeros((neq,), dtype))
+        act_b.append(jnp.ones((neq,), bool))
 
-    # ---- dof friction rows [neq, neq+nv) ----
+    # ---- dof friction rows [neq, neq+nv) — J block = identity ----
     if nv:
-        J = J.at[neq + jnp.arange(nv), jnp.arange(nv)].set(1.0)
         zero = jnp.zeros(nv, dtype)
         imp, k, b, Df = _efc_kbid(m.dof_solref, m.dof_solimp, zero, m.dof_invweight0)
-        aref = aref.at[neq : neq + nv].set(-b * d.qvel)
-        D = D.at[neq : neq + nv].set(Df)
-        fl_out = fl_out.at[neq : neq + nv].set(m.dof_frictionloss)
-        active = active.at[neq : neq + nv].set(m.dof_frictionloss > 0)
+        D_b.append(Df)
+        aref_b.append(-b * d.qvel)
+        pos_b.append(zero)
+        margin_b.append(zero)
+        fl_b.append(jnp.asarray(m.dof_frictionloss, dtype))
+        act_b.append(jnp.asarray(m.dof_frictionloss > 0))
 
-    # ---- joint limit rows (vectorized over limited joints) ----
-    nlimit = m.nlimit
+    # ---- joint limit rows — J block = one signed entry at static vadr ----
+    lim_side = jnp.zeros((nlimit,), dtype)
     if nlimit:
         jids = m.limit_jntid  # static numpy
         ok = np.isin(m.jnt_type[jids], (JNT_HINGE, JNT_SLIDE))
@@ -169,18 +175,22 @@ def make_constraint(m: Model, d: Data) -> Data:
         imp, k, b, Dl = _efc_kbid(
             m.jnt_solref[jids], m.jnt_solimp[jids], pos, m.dof_invweight0[vadr]
         )
+        act_lim = (dist < margin) & jnp.asarray(ok)
+        lim_side = jnp.where(act_lim, side, 0.0)
         vel = side * d.qvel[vadr]
-        rows = neq + nv + np.arange(nlimit)
-        J = J.at[rows, vadr].set(jnp.where(jnp.asarray(ok), side, 0.0))
-        aref = aref.at[rows].set(-b * vel - k * imp * pos)
-        D = D.at[rows].set(Dl)
-        pos_out = pos_out.at[rows].set(dist)
-        margin_out = margin_out.at[rows].set(margin)
-        active = active.at[rows].set((dist < margin) & jnp.asarray(ok))
+        D_b.append(Dl)
+        aref_b.append(-b * vel - k * imp * pos)
+        pos_b.append(dist)
+        margin_b.append(jnp.broadcast_to(jnp.asarray(margin, dtype), dist.shape))
+        fl_b.append(jnp.zeros((nlimit,), dtype))
+        act_b.append(act_lim)
 
-    # ---- contact rows: top-K compaction ----
+    # ---- contact rows: top-K compaction — dense block efc_Jc ----
     pt = m.pairs
     K = m.ncon_max
+    R = m.rows_per_con
+    KR = K * R
+    Jc = jnp.zeros((KR, nv), dtype)
     if pt.ncon and K:
         con = d.contact
         # depth-sorted selection (most negative dist-margin first)
@@ -194,7 +204,6 @@ def make_constraint(m: Model, d: Data) -> Data:
         b1 = jnp.asarray(m.geom_bodyid)[g1]
         b2 = jnp.asarray(m.geom_bodyid)[g2]
         root = jnp.asarray(m.body_rootid)
-        O = d.subtree_com[root[b1] * 0 + root[b1]]  # (K,3) via gather below
         O1 = d.subtree_com[root[b1]]
         O2 = d.subtree_com[root[b2]]
 
@@ -212,9 +221,8 @@ def make_constraint(m: Model, d: Data) -> Data:
 
         jacd = point_jac(b2, O2) - point_jac(b1, O1)  # (K, nv, 3)
         frame_k = con.frame[sel]  # (K, 3, 3)
-        Jc = jnp.einsum("kfx,kvx->kfv", frame_k, jacd)  # (K, 3, nv)
+        Jc3 = jnp.einsum("kfx,kvx->kfv", frame_k, jacd)  # (K, 3, nv)
 
-        R = m.rows_per_con  # 2*(maxdim-1): 4 (condim<=3) .. 10 (condim 6)
         ndirs = R // 2  # friction directions incl. normal-paired layout
         dim_k = jnp.asarray(pt.con_dim)[sel]  # (K,)
         frictionless = dim_k == 1
@@ -229,7 +237,7 @@ def make_constraint(m: Model, d: Data) -> Data:
         )  # (K, ndirs)
 
         # direction Jacobians: linear t1,t2 then angular n,t1,t2
-        Jn, Jt1, Jt2 = Jc[:, 0], Jc[:, 1], Jc[:, 2]
+        Jn, Jt1, Jt2 = Jc3[:, 0], Jc3[:, 1], Jc3[:, 2]
         dirJ = [Jt1, Jt2]
         if ndirs > 2:
             # angular relative jacobian rotated into the contact frame
@@ -254,9 +262,7 @@ def make_constraint(m: Model, d: Data) -> Data:
         row_idx = np.arange(R)
         row_on = row_idx[None, :] < row_count[:, None]  # (K, R)
 
-        invweight_t = (
-            m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-        )
+        invweight_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
         mu1 = mu_dirs[:, 0]
         diag_pyr = (
             2.0 * mu1 * mu1 * (1.0 + mu1 * mu1) * invweight_t / m.opt.impratio
@@ -271,25 +277,41 @@ def make_constraint(m: Model, d: Data) -> Data:
         vel = jnp.einsum("krv,v->kr", rowsJ, d.qvel)  # (K, R)
         aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
 
-        base = neq + nv + nlimit
-        idx = base + jnp.arange(K * R)
         on = (sel_active[:, None] & row_on).reshape(-1)
-        J = J.at[idx].set(rowsJ.reshape(K * R, nv))
-        D = D.at[idx].set(jnp.where(on, jnp.repeat(Dc, R), 0.0))
-        aref = aref.at[idx].set(aref_c.reshape(-1))
-        pos_out = pos_out.at[idx].set(jnp.repeat(con.dist[sel], R))
-        margin_out = margin_out.at[idx].set(jnp.repeat(con.includemargin[sel], R))
-        active = active.at[idx].set(on)
+        Jc = jnp.where(on[:, None], rowsJ.reshape(KR, nv), 0.0)
+        D_b.append(jnp.where(on, jnp.repeat(Dc, R), 0.0))
+        aref_b.append(aref_c.reshape(-1))
+        pos_b.append(jnp.repeat(con.dist[sel], R))
+        margin_b.append(jnp.repeat(con.includemargin[sel], R))
+        fl_b.append(jnp.zeros((KR,), dtype))
+        act_b.append(on)
         d = d.replace(con_sel=sel, con_sel_active=sel_active)
+    elif KR:
+        D_b.append(jnp.zeros((KR,), dtype))
+        aref_b.append(jnp.zeros((KR,), dtype))
+        pos_b.append(jnp.zeros((KR,), dtype))
+        margin_b.append(jnp.zeros((KR,), dtype))
+        fl_b.append(jnp.zeros((KR,), dtype))
+        act_b.append(jnp.zeros((KR,), bool))
 
-    # inactive rows contribute nothing. J/aref are zeroed too so that any
+    def cat(blocks, fallback_dtype=dtype):
+        return jnp.concatenate(blocks) if blocks else jnp.zeros((0,), fallback_dtype)
+
+    D = cat(D_b)
+    aref = cat(aref_b)
+    pos_out = cat(pos_b)
+    margin_out = cat(margin_b)
+    fl_out = cat(fl_b)
+    active = jnp.concatenate(act_b) if act_b else jnp.zeros((0,), bool)
+
+    # inactive rows contribute nothing. aref/D/J blocks are zeroed so any
     # non-finite values in far-away (inactive) contact slots can never
     # poison the Newton solve through 0*NaN propagation.
     D = jnp.where(active, D, 0.0)
     fl_out = jnp.where(active, fl_out, 0.0)
-    J = jnp.where(active[:, None], J, 0.0)
     aref = jnp.where(active, aref, 0.0)
     return d.replace(
-        efc_J=J, efc_D=D, efc_aref=aref, efc_pos=pos_out,
+        efc_Jeq=Jeq, efc_lim_side=lim_side, efc_Jc=Jc,
+        efc_D=D, efc_aref=aref, efc_pos=pos_out,
         efc_margin=margin_out, efc_frictionloss=fl_out, efc_active=active,
     )

@@ -77,7 +77,15 @@ class Data:
     # ----- acceleration / constraints -----
     qfrc_smooth: jax.Array  # (nv,)
     qacc_smooth: jax.Array  # (nv,)
-    efc_J: jax.Array  # (nefc, nv)
+    # Structured constraint Jacobian, by row class (row layout
+    # [eq][dof friction][limits][contacts] as in constraint.py). The
+    # friction block is implicitly the identity; the limit block is
+    # one nonzero (the side sign) per row at a static dof address —
+    # only the equality and contact blocks are materialized. This keeps
+    # the solver's matvecs/Hessian on the dense contact block only.
+    efc_Jeq: jax.Array  # (neq_jnt, nv)
+    efc_lim_side: jax.Array  # (nlimit,) +-1 active side, 0 if inactive
+    efc_Jc: jax.Array  # (ncon_max * rows_per_con, nv)
     efc_D: jax.Array  # (nefc,)
     efc_aref: jax.Array  # (nefc,)
     efc_pos: jax.Array  # (nefc,)
@@ -146,7 +154,9 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         qfrc_actuator=z(m.nv),
         qfrc_smooth=z(m.nv),
         qacc_smooth=z(m.nv),
-        efc_J=z(m.nefc, m.nv),
+        efc_Jeq=z(m.neq_jnt, m.nv),
+        efc_lim_side=z(m.nlimit),
+        efc_Jc=z(m.ncon_max * m.rows_per_con, m.nv),
         efc_D=z(m.nefc),
         efc_aref=z(m.nefc),
         efc_pos=z(m.nefc),

@@ -130,24 +130,65 @@ def _solve_impl(m: Model, d: Data) -> Data:
             qacc_warmstart=a_smooth,
         )
 
-    J = d.efc_J
     D = d.efc_D
     aref = d.efc_aref
     fl = d.efc_frictionloss
     is_friction = jnp.asarray(m.efc_type == EFC_FRICTION_DOF)
     is_eq = jnp.asarray(m.efc_type == EFC_EQUALITY)
 
+    # structured Jacobian blocks (constraint.py row layout
+    # [eq][friction=I][limits: one signed entry][contacts: dense]).
+    # Exploiting the structure keeps every J pass O(contacts) instead of
+    # O(nefc): friction rows cost nothing, limit rows are a static gather.
+    import numpy as _np
+
+    neq = m.neq_jnt
+    nlimit = m.nlimit
+    Jeq = d.efc_Jeq
+    side = d.efc_lim_side
+    Jc = d.efc_Jc
+    lim_vadr = _np.asarray(m.jnt_dofadr[m.limit_jntid], _np.int32)
+    # static one-hot (nlimit, nv) scatter matrix for limit rows
+    P = _np.zeros((nlimit, nv), _np.float64)
+    if nlimit:
+        P[_np.arange(nlimit), lim_vadr] = 1.0
+    Pj = jnp.asarray(P, dtype)
+    s_fr = slice(neq, neq + nv)
+    s_lim = slice(neq + nv, neq + nv + nlimit)
+    s_con = slice(neq + nv + nlimit, m.nefc)
+
+    def Jmul(x):
+        parts = []
+        if neq:
+            parts.append(Jeq @ x)
+        parts.append(x)
+        if nlimit:
+            parts.append(side * x[lim_vadr])
+        if Jc.shape[0]:
+            parts.append(Jc @ x)
+        return jnp.concatenate(parts)
+
+    def JTmul(f):
+        out = f[s_fr]
+        if neq:
+            out = out + Jeq.T @ f[:neq]
+        if nlimit:
+            out = out + (side * f[s_lim]) @ Pj
+        if Jc.shape[0]:
+            out = out + Jc.T @ f[s_con]
+        return out
+
     def cost_from_jar(x, jar):
         dx = x - a_smooth
         return 0.5 * dx @ (M @ dx) + _cost(m, jar, D, fl, is_friction, is_eq)
 
     def total_cost(x):
-        return cost_from_jar(x, J @ x - aref)
+        return cost_from_jar(x, Jmul(x) - aref)
 
     # init: better of warmstart and qacc_smooth
     x_ws = d.qacc_warmstart
-    jar_ws = J @ x_ws - aref
-    jar_sm = J @ a_smooth - aref
+    jar_ws = Jmul(x_ws) - aref
+    jar_sm = Jmul(a_smooth) - aref
     cost_ws = cost_from_jar(x_ws, jar_ws)
     cost_sm = cost_from_jar(a_smooth, jar_sm)
     ws_better = cost_ws < cost_sm
@@ -159,8 +200,6 @@ def _solve_impl(m: Model, d: Data) -> Data:
     # (limits + contact pyramids) contribute 1 breakpoint, dof-friction
     # rows 2, equality rows none — sorting only those beats sorting 2*nefc
     # padded slots.
-    import numpy as _np
-
     _os_idx = _np.nonzero(
         (m.efc_type == EFC_LIMIT_JOINT) | (m.efc_type == EFC_CONTACT)
     )[0]
@@ -260,12 +299,21 @@ def _solve_impl(m: Model, d: Data) -> Data:
         # passes per iteration — J dominates the solver's memory traffic.
         i, x, jar, cost_x, done = carry
         force, quad = _row_forces(m, jar, D, fl, is_friction, is_eq)
-        grad = M @ (x - a_smooth) - J.T @ force
+        grad = M @ (x - a_smooth) - JTmul(force)
         Dq = jnp.where(quad, D, 0.0)
-        H = M + (J.T * Dq) @ J
+        # H = M + J^T Dq J by block: friction/limit rows only touch the
+        # diagonal; equality rows are tiny; contacts are the dense part.
+        diag = Dq[s_fr]
+        if nlimit:
+            diag = diag + Dq[s_lim] @ Pj  # side^2 == 1
+        H = M + jnp.diag(diag)
+        if Jc.shape[0]:
+            H = H + (Jc.T * Dq[s_con]) @ Jc
+        if neq:
+            H = H + (Jeq.T * Dq[:neq]) @ Jeq
         dx = -_chol_solve_unrolled(H, grad)
 
-        v = J @ dx  # (nefc,)
+        v = Jmul(dx)  # (nefc,)
         q1 = dx @ (M @ (x - a_smooth))  # phi'(0) smooth part
         q2 = dx @ (M @ dx)  # smooth curvature
         alpha = exact_linesearch(jar, v, q1, q2)
@@ -299,9 +347,9 @@ def _solve_impl(m: Model, d: Data) -> Data:
         (i0, x0, jar0, cost0, done0),
     )
 
-    jar = J @ x - aref
+    jar = Jmul(x) - aref
     force, _ = _row_forces(m, jar, D, fl, is_friction, is_eq)
-    qfrc_constraint = J.T @ force
+    qfrc_constraint = JTmul(force)
 
     # decode per-contact world forces for the compacted slots
     # (mj_contactForce equivalent): rows [n+u_i d_i, n-u_i d_i, ...]
@@ -373,6 +421,28 @@ def _decode_contact_forces_batched(m: Model, d: Data, force):
     return jnp.zeros_like(d.con_force).at[e_idx, sel].set(fw)
 
 
+def _assemble_dense_J(m: Model, d: Data):
+    """Materialize the full (E, nefc, nv) Jacobian from the structured
+    blocks — only used by the experimental Pallas path."""
+    import numpy as _np
+
+    E = d.qpos.shape[0]
+    nv, nlimit = m.nv, m.nlimit
+    dtype = d.qpos.dtype
+    parts = []
+    if m.neq_jnt:
+        parts.append(d.efc_Jeq)
+    parts.append(jnp.broadcast_to(jnp.eye(nv, dtype=dtype), (E, nv, nv)))
+    if nlimit:
+        lim_vadr = _np.asarray(m.jnt_dofadr[m.limit_jntid], _np.int32)
+        P = _np.zeros((nlimit, nv), _np.float64)
+        P[_np.arange(nlimit), lim_vadr] = 1.0
+        parts.append(d.efc_lim_side[..., None] * jnp.asarray(P, dtype))
+    if d.efc_Jc.shape[1]:
+        parts.append(d.efc_Jc)
+    return jnp.concatenate(parts, axis=1)
+
+
 def _solve_batched_pallas(m: Model, d: Data) -> Data:
     from mjlab_tpu.phys.solver_pallas import newton_solve_pallas
 
@@ -382,8 +452,9 @@ def _solve_batched_pallas(m: Model, d: Data) -> Data:
     )
     fr_mask = tuple(bool(b) for b in m.efc_type == EFC_FRICTION_DOF)
     eq_mask = tuple(bool(b) for b in m.efc_type == EFC_EQUALITY)
+    efc_J = _assemble_dense_J(m, d)
     x, force = newton_solve_pallas(
-        d.efc_J, d.efc_D, d.efc_aref, d.efc_frictionloss,
+        efc_J, d.efc_D, d.efc_aref, d.efc_frictionloss,
         d.qM, d.qacc_smooth, d.qacc_warmstart,
         nv=m.nv, nefc=m.nefc,
         os_mask=os_mask, fr_mask=fr_mask, eq_mask=eq_mask,
@@ -391,7 +462,7 @@ def _solve_batched_pallas(m: Model, d: Data) -> Data:
         ls_iterations=max(m.opt.ls_iterations, 8),
         tolerance=float(m.opt.tolerance),
     )
-    qfrc_constraint = jnp.einsum("eri,er->ei", d.efc_J, force)
+    qfrc_constraint = jnp.einsum("eri,er->ei", efc_J, force)
     con_force = _decode_contact_forces_batched(m, d, force)
     return d.replace(
         qacc=x,
