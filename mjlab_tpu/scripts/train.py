@@ -116,7 +116,26 @@ def main():
     parser.add_argument(
         "--agent", action="append", default=[], help="agent cfg override key=value"
     )
-    args = parser.parse_args()
+    args, unknown = parser.parse_known_args()
+    # tyro-style dotted overrides (reference CLI surface,
+    # reference scripts/train.py:236-245): --env.scene.num-envs 4096 or
+    # --agent.algorithm.gamma=0.99 map onto the nested cfg dataclasses
+    i = 0
+    while i < len(unknown):
+        tok = unknown[i]
+        for prefix, dest in (("--env.", args.env), ("--agent.", args.agent)):
+            if tok.startswith(prefix):
+                kv = tok[len(prefix):]
+                if "=" not in kv:
+                    if i + 1 >= len(unknown):
+                        parser.error(f"missing value for {tok}")
+                    kv = f"{kv}={unknown[i + 1]}"
+                    i += 1
+                dest.append(kv)
+                break
+        else:
+            parser.error(f"unrecognized argument: {tok}")
+        i += 1
     run_train(
         args.task,
         num_envs=args.num_envs,
