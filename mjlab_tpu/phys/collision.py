@@ -694,13 +694,16 @@ def collision(m, d):
     frame = jnp.concatenate(frame_b)
 
     cp = pt.con_pairid
-    contact = d.contact.replace(
-        dist=dist,
-        pos=pos,
-        frame=frame,
-        friction=friction5[cp],
-        solref=solref[cp],
-        solimp=solimp[cp],
-        includemargin=(margin - gap)[cp],
+    packed = jnp.concatenate(
+        [
+            dist[:, None],
+            (margin - gap)[cp][:, None],
+            pos,
+            friction5[cp],
+            solref[cp],
+            solimp[cp],
+            frame.reshape(-1, 9),
+        ],
+        axis=-1,
     )
-    return d.replace(contact=contact)
+    return d.replace(contact=d.contact.replace(packed=packed))

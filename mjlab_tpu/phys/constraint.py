@@ -197,6 +197,12 @@ def make_constraint(m: Model, d: Data) -> Data:
         score = con.dist - con.includemargin
         neg, sel = jax.lax.top_k(-score, K)  # (K,) slot indices
         sel_active = (-neg) < 0.0  # selected slot is in contact
+        # ONE gather of the packed per-slot record for the selected slots
+        cpk = con.packed[sel]  # (K, 26)
+        dist_k = cpk[..., 0]
+        margin_k = cpk[..., 1]
+        solref_k = cpk[..., 10:12]
+        solimp_k = cpk[..., 12:17]
 
         W = jnp.asarray(ancestor_dof_mask(m), dtype)  # (nbody, nv)
         g1 = jnp.asarray(pt.con_geom1)[sel]
@@ -209,7 +215,7 @@ def make_constraint(m: Model, d: Data) -> Data:
 
         cd_ang = d.cdof[:, :3]  # (nv,3)
         cd_lin = d.cdof[:, 3:]
-        pos_k = con.pos[sel]  # (K,3)
+        pos_k = cpk[..., 2:5]  # (K,3)
 
         def point_jac(bids, Ob):
             r = pos_k[:, None, :] - Ob[:, None, :]
@@ -220,13 +226,13 @@ def make_constraint(m: Model, d: Data) -> Data:
             return jac * W[bids][:, :, None]
 
         jacd = point_jac(b2, O2) - point_jac(b1, O1)  # (K, nv, 3)
-        frame_k = con.frame[sel]  # (K, 3, 3)
+        frame_k = cpk[..., 17:26].reshape(K, 3, 3)
         Jc3 = jnp.einsum("kfx,kvx->kfv", frame_k, jacd)  # (K, 3, nv)
 
         ndirs = R // 2  # friction directions incl. normal-paired layout
         dim_k = jnp.asarray(pt.con_dim)[sel]  # (K,)
         frictionless = dim_k == 1
-        mu = con.friction[sel]  # (K, 5)
+        mu = cpk[..., 5:10]  # (K, 5)
         # friction coefficient per direction, masked by the slot's condim:
         # dir i active iff condim > i+1 (t1,t2 need 3; torsion 4; rolls 6)
         dir_need = np.array([3, 3, 4, 6, 6], np.int32)[:ndirs]
@@ -270,10 +276,8 @@ def make_constraint(m: Model, d: Data) -> Data:
         # frictionless: single-normal-row diagApprox, split over 4 rows (x4 R)
         diag_approx = jnp.where(frictionless, invweight_t * 4.0, diag_pyr)
 
-        pos_c = con.dist[sel] - con.includemargin[sel]
-        imp, kk, bb, Dc = _efc_kbid(
-            con.solref[sel], con.solimp[sel], pos_c, diag_approx
-        )
+        pos_c = dist_k - margin_k
+        imp, kk, bb, Dc = _efc_kbid(solref_k, solimp_k, pos_c, diag_approx)
         vel = jnp.einsum("krv,v->kr", rowsJ, d.qvel)  # (K, R)
         aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
 
@@ -281,8 +285,8 @@ def make_constraint(m: Model, d: Data) -> Data:
         Jc = jnp.where(on[:, None], rowsJ.reshape(KR, nv), 0.0)
         D_b.append(jnp.where(on, jnp.repeat(Dc, R), 0.0))
         aref_b.append(aref_c.reshape(-1))
-        pos_b.append(jnp.repeat(con.dist[sel], R))
-        margin_b.append(jnp.repeat(con.includemargin[sel], R))
+        pos_b.append(jnp.repeat(dist_k, R))
+        margin_b.append(jnp.repeat(margin_k, R))
         fl_b.append(jnp.zeros((KR,), dtype))
         act_b.append(on)
         d = d.replace(con_sel=sel, con_sel_active=sel_active)

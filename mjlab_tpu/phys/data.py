@@ -18,15 +18,44 @@ from mjlab_tpu.phys.model import Model
 
 @pytree
 class Contact:
-    """Contact slots (static count; inactive slots masked by dist)."""
+    """Contact slots (static count; inactive slots masked by dist).
 
-    dist: jax.Array  # (ncon,)
-    pos: jax.Array  # (ncon, 3)
-    frame: jax.Array  # (ncon, 3, 3) rows: [normal, tangent1, tangent2]
-    friction: jax.Array  # (ncon, 5)
-    solref: jax.Array  # (ncon, 2)
-    solimp: jax.Array  # (ncon, 5)
-    includemargin: jax.Array  # (ncon,)
+    All per-slot fields live in ONE packed (ncon, 26) array so the
+    solver's top-K compaction is a single gather instead of seven (TPU
+    gathers are expensive); the named accessors are zero-cost views.
+    Column layout: [dist, includemargin, pos(3), friction(5), solref(2),
+    solimp(5), frame(9 row-major)]."""
+
+    packed: jax.Array  # (ncon, 26)
+
+    @property
+    def dist(self) -> jax.Array:
+        return self.packed[..., 0]
+
+    @property
+    def includemargin(self) -> jax.Array:
+        return self.packed[..., 1]
+
+    @property
+    def pos(self) -> jax.Array:
+        return self.packed[..., 2:5]
+
+    @property
+    def friction(self) -> jax.Array:
+        return self.packed[..., 5:10]
+
+    @property
+    def solref(self) -> jax.Array:
+        return self.packed[..., 10:12]
+
+    @property
+    def solimp(self) -> jax.Array:
+        return self.packed[..., 12:17]
+
+    @property
+    def frame(self) -> jax.Array:
+        # rows: [normal, tangent1, tangent2]
+        return self.packed[..., 17:26].reshape(*self.packed.shape[:-1], 3, 3)
 
 
 @pytree
@@ -97,7 +126,8 @@ class Data:
     qacc: jax.Array  # (nv,)
     con_sel: jax.Array  # (ncon_max,) int32: compacted contact slot ids
     con_sel_active: jax.Array  # (ncon_max,) bool
-    con_force: jax.Array  # (ncon, 3) world-frame contact force on geom2
+    con_force_c: jax.Array  # (ncon_max, 3) world force per COMPACTED slot
+    # (on geom2; expand to full slots with phys.solver.decode_con_force)
 
 
 def make_data(m: Model, dtype=jnp.float32) -> Data:
@@ -135,13 +165,19 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         qM=z(m.nv, m.nv),
         qLD=z(m.nv, m.nv),
         contact=Contact(
-            dist=jnp.full((ncon,), 1e10, dtype),
-            pos=z(ncon, 3),
-            frame=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (ncon, 3, 3)),
-            friction=jnp.tile(jnp.array([1.0, 1.0, 0.005, 1e-4, 1e-4], dtype), (ncon, 1)),
-            solref=jnp.tile(jnp.array([0.02, 1.0], dtype), (ncon, 1)),
-            solimp=jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype), (ncon, 1)),
-            includemargin=z(ncon),
+            packed=jnp.tile(
+                jnp.concatenate(
+                    [
+                        jnp.array([1e10, 0.0], dtype),  # dist, includemargin
+                        jnp.zeros(3, dtype),  # pos
+                        jnp.array([1.0, 1.0, 0.005, 1e-4, 1e-4], dtype),
+                        jnp.array([0.02, 1.0], dtype),  # solref
+                        jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype),
+                        jnp.eye(3, dtype=dtype).reshape(9),  # frame
+                    ]
+                ),
+                (ncon, 1),
+            ),
         ),
         cvel=z(m.nbody, 6),
         cdof_dot=z(m.nv, 6),
@@ -168,7 +204,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         qacc=z(m.nv),
         con_sel=jnp.zeros((m.ncon_max,), jnp.int32),
         con_sel_active=jnp.zeros((m.ncon_max,), bool),
-        con_force=z(ncon, 3),
+        con_force_c=z(m.ncon_max, 3),
     )
 
 

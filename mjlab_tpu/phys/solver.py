@@ -353,15 +353,20 @@ def _solve_impl(m: Model, d: Data) -> Data:
 
     # decode per-contact world forces for the compacted slots
     # (mj_contactForce equivalent): rows [n+u_i d_i, n-u_i d_i, ...]
-    # -> f_normal = sum(rows), f_i = u_i (r_{2i} - r_{2i+1}).
-    con_force = d.con_force
+    # -> f_normal = sum(rows), f_i = u_i (r_{2i} - r_{2i+1}). Stored
+    # COMPACTED (K, 3): expanding to the full slot table is a scatter
+    # consumers rarely need — see decode_con_force / the contact
+    # sensor's one-hot expansion.
+    con_force_c = d.con_force_c
     K = m.ncon_max
     R = m.rows_per_con
     if K and m.pairs.ncon:
         base = m.neq_jnt + m.nv + m.nlimit
         rows = force[base : base + R * K].reshape(K, R)
         sel = d.con_sel
-        mu = d.contact.friction[sel]
+        cpk = d.contact.packed[sel]
+        mu = cpk[:, 5:10]
+        frame = cpk[:, 17:26].reshape(K, 3, 3)  # rows [n, t1, t2]
         dim_k = jnp.asarray(m.pairs.con_dim)[sel]
         mu1 = jnp.where(dim_k == 1, 0.0, mu[:, 0])
         mu2 = jnp.where(dim_k == 1, 0.0, mu[:, 1])
@@ -369,18 +374,16 @@ def _solve_impl(m: Model, d: Data) -> Data:
         ft1 = mu1 * (rows[:, 0] - rows[:, 1])
         ft2 = mu2 * (rows[:, 2] - rows[:, 3])
         fc = jnp.stack([fn, ft1, ft2], axis=-1)  # (K, 3) contact frame
-        frame = d.contact.frame[sel]  # (K, 3, 3) rows [n, t1, t2]
         fw = jnp.einsum("kf,kfx->kx", fc, frame)
         # where (not multiply): inactive far slots may hold non-finite data
-        fw = jnp.where(d.con_sel_active[:, None], fw, 0.0)
-        con_force = jnp.zeros_like(d.con_force).at[sel].set(fw)
+        con_force_c = jnp.where(d.con_sel_active[:, None], fw, 0.0)
 
     return d.replace(
         qacc=x,
         efc_force=force,
         qfrc_constraint=qfrc_constraint,
         qacc_warmstart=x,
-        con_force=con_force,
+        con_force_c=con_force_c,
     )
 
 
@@ -394,17 +397,38 @@ def _solve_impl(m: Model, d: Data) -> Data:
 import jax.custom_batching as _custom_batching
 
 
+def decode_con_force(m: Model, d: Data) -> jnp.ndarray:
+    """Expand the compacted contact forces to the full slot table
+    (ncon, 3) — a scatter; call only where full-slot layout is needed
+    (debug/viewer paths). Batched over leading dims."""
+    sel = d.con_sel
+    if d.qpos.ndim == 1:
+        return (
+            jnp.zeros((m.pairs.ncon, 3), d.qpos.dtype).at[sel].set(d.con_force_c)
+        )
+    E = d.qpos.shape[0]
+    e_idx = jnp.arange(E)[:, None]
+    return (
+        jnp.zeros((E, m.pairs.ncon, 3), d.qpos.dtype)
+        .at[e_idx, sel]
+        .set(d.con_force_c)
+    )
+
+
 def _decode_contact_forces_batched(m: Model, d: Data, force):
-    """Batched mj_contactForce decode (mirrors the tail of _solve_impl)."""
+    """Batched mj_contactForce decode (mirrors the tail of _solve_impl),
+    compacted (E, K, 3)."""
     K = m.ncon_max
     R = m.rows_per_con
     if not (K and m.pairs.ncon):
-        return d.con_force
+        return d.con_force_c
     E = force.shape[0]
     base = m.neq_jnt + m.nv + m.nlimit
     rows = force[:, base : base + R * K].reshape(E, K, R)
     sel = d.con_sel  # (E, K)
-    mu = jnp.take_along_axis(d.contact.friction, sel[..., None], axis=1)
+    cpk = jnp.take_along_axis(d.contact.packed, sel[..., None], axis=1)
+    mu = cpk[..., 5:10]
+    frame = cpk[..., 17:26].reshape(E, K, 3, 3)
     dim_k = jnp.asarray(m.pairs.con_dim)[sel]
     mu1 = jnp.where(dim_k == 1, 0.0, mu[..., 0])
     mu2 = jnp.where(dim_k == 1, 0.0, mu[..., 1])
@@ -412,13 +436,8 @@ def _decode_contact_forces_batched(m: Model, d: Data, force):
     ft1 = mu1 * (rows[..., 0] - rows[..., 1])
     ft2 = mu2 * (rows[..., 2] - rows[..., 3])
     fc = jnp.stack([fn, ft1, ft2], axis=-1)  # (E, K, 3)
-    frame = jnp.take_along_axis(
-        d.contact.frame, sel[..., None, None], axis=1
-    )  # (E, K, 3, 3)
     fw = jnp.einsum("ekf,ekfx->ekx", fc, frame)
-    fw = jnp.where(d.con_sel_active[..., None], fw, 0.0)
-    e_idx = jnp.arange(E)[:, None]
-    return jnp.zeros_like(d.con_force).at[e_idx, sel].set(fw)
+    return jnp.where(d.con_sel_active[..., None], fw, 0.0)
 
 
 def _assemble_dense_J(m: Model, d: Data):
@@ -463,13 +482,13 @@ def _solve_batched_pallas(m: Model, d: Data) -> Data:
         tolerance=float(m.opt.tolerance),
     )
     qfrc_constraint = jnp.einsum("eri,er->ei", efc_J, force)
-    con_force = _decode_contact_forces_batched(m, d, force)
+    con_force_c = _decode_contact_forces_batched(m, d, force)
     return d.replace(
         qacc=x,
         efc_force=force,
         qfrc_constraint=qfrc_constraint,
         qacc_warmstart=x,
-        con_force=con_force,
+        con_force_c=con_force_c,
     )
 
 

@@ -222,10 +222,20 @@ class ContactSensor(Sensor):
         found = jnp.any(active, axis=-1)
 
         M, S = st.shape
-        # world forces already decoded per slot by the solver (d.con_force,
-        # force on geom2); flip sign so force is ON the primary object
+        # world forces are stored COMPACTED by the solver (d.con_force_c
+        # per selected slot, force on geom2); expand onto this sensor's
+        # static slot table with a one-hot sum over the K compacted slots
+        # (K is small — cheaper than scattering to the full slot table),
+        # flipping sign so force is ON the primary object
         sgn = jnp.asarray(self.slot_sign)  # (M, S)
-        force_w = d.con_force[:, st] * sgn[None, :, :, None]
+        sel = d.con_sel  # (E, K)
+        onehot = (
+            sel[:, None, None, :] == jnp.asarray(st)[None, :, :, None]
+        ).astype(d.con_force_c.dtype)  # (E, M, S, K)
+        force_w = (
+            jnp.einsum("emsk,ekx->emsx", onehot, d.con_force_c)
+            * sgn[None, :, :, None]
+        )
         net_force = jnp.sum(force_w, axis=2)
 
         deepest = jnp.argmin(dist, axis=-1)
