@@ -88,6 +88,7 @@ class Data:
     cdof: jax.Array  # (nv, 6)
     qM: jax.Array  # (nv, nv) dense
     qLD: jax.Array  # (nv, nv) cholesky factor (lower)
+    qLDinv: jax.Array  # (nv, nv) inverse of qLD (solves become matvecs)
     contact: Contact
 
     # ----- velocity stage -----
@@ -164,6 +165,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         cdof=z(m.nv, 6),
         qM=z(m.nv, m.nv),
         qLD=z(m.nv, m.nv),
+        qLDinv=z(m.nv, m.nv),
         contact=Contact(
             packed=jnp.tile(
                 jnp.concatenate(

@@ -109,7 +109,8 @@ def _euler_qacc(m: Model, d: Data) -> jax.Array:
         return d.qacc
     h = m.opt.timestep
     Mh = d.qM + h * jnp.diag(m.dof_damping)
-    return linalg.chol_solve(linalg.chol_factor(Mh), d.qM @ d.qacc)
+    Li = linalg.tri_inv(linalg.chol_factor_blocked(Mh))
+    return linalg.chol_solve_inv(Li, d.qM @ d.qacc)
 
 
 def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
@@ -119,7 +120,8 @@ def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
     if m.nu:
         dfdv = _actuator_vel_deriv(m, d)
         Mh = Mh - h * (d.actuator_moment.T * dfdv) @ d.actuator_moment
-    return linalg.chol_solve(linalg.chol_factor(Mh), d.qM @ d.qacc)
+    Li = linalg.tri_inv(linalg.chol_factor_blocked(Mh))
+    return linalg.chol_solve_inv(Li, d.qM @ d.qacc)
 
 
 def step(m: Model, d: Data) -> Data:

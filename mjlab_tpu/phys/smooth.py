@@ -97,13 +97,14 @@ def crb(m: Model, d: Data) -> Data:
     upper = full * Um  # valid where i is ancestor-or-self of j
     qM = upper + upper.T - jnp.diag(jnp.diagonal(upper))
     qM = qM + jnp.diag(m.dof_armature)
-    qLD = linalg.chol_factor(qM)
-    return d.replace(qM=qM, qLD=qLD)
+    qLD = linalg.chol_factor_blocked(qM)
+    qLDinv = linalg.tri_inv(qLD)
+    return d.replace(qM=qM, qLD=qLD, qLDinv=qLDinv)
 
 
 def solve_m(d: Data, x: jax.Array) -> jax.Array:
-    """Solve M y = x using the cached Cholesky factor."""
-    return linalg.chol_solve(d.qLD, x)
+    """Solve M y = x using the cached inverted Cholesky factor."""
+    return linalg.chol_solve_inv(d.qLDinv, x)
 
 
 def com_vel(m: Model, d: Data) -> Data:
