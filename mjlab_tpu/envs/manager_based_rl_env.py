@@ -12,6 +12,7 @@ is deliberately NOT replicated).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -245,7 +246,13 @@ class ManagerBasedRlEnv:
         self.event_manager.apply_startup()
         self.sim.model = self.ctx.model
 
-        # 6. spaces
+        # 6. startup introspection: dump every manager's active terms
+        # (reference prints PrettyTable summaries at env init, e.g.
+        # observation_manager.py:44-70); silence with MJLAB_QUIET=1
+        if not os.environ.get("MJLAB_QUIET"):
+            self._print_manager_tables()
+
+        # 7. spaces
         self._build_spaces()
 
         # 7. compile step/reset
@@ -296,6 +303,45 @@ class ManagerBasedRlEnv:
     @property
     def state(self) -> EnvState:
         return self._state
+
+    def _print_manager_tables(self) -> None:
+        from mjlab_tpu.utils.logging import print_table
+
+        def rows_of(terms):
+            if isinstance(terms, dict):
+                return [(g, ", ".join(ts)) for g, ts in terms.items()]
+            return [(t, "") for t in terms]
+
+        for name, mgr in (
+            ("Observations", self.observation_manager),
+            ("Actions", self.action_manager),
+            ("Rewards", self.reward_manager),
+            ("Terminations", self.termination_manager),
+            ("Events", self.event_manager),
+            ("Commands", self.command_manager),
+            ("Curriculum", self.curriculum_manager),
+        ):
+            terms = mgr.active_terms
+            terms = terms() if callable(terms) else terms
+            if not terms:
+                continue
+            if name == "Observations":
+                rows = [
+                    (g, f"dim={self.observation_manager.group_obs_dim(g)}",
+                     ", ".join(ts))
+                    for g, ts in terms.items()
+                ]
+                print_table(rows, ("group", "shape", "terms"),
+                            title=f"[{name}]")
+            elif name == "Rewards":
+                rows = [
+                    (t, f"{self.reward_manager.get_term_cfg(t).weight:+.3g}")
+                    for t in terms
+                ]
+                print_table(rows, ("term", "weight"), title=f"[{name}]")
+            else:
+                rows = rows_of(terms)
+                print_table(rows, ("term", "detail"), title=f"[{name}]")
 
     def _build_spaces(self):
         self.single_action_space = Box(

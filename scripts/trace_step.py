@@ -30,21 +30,43 @@ def main():
     m = env.sim.model
     maxes = env.sim.model_axes
 
-    @jax.jit
-    def run(d):
-        def body(d, _):
-            return jax.vmap(fwd.step, in_axes=(maxes, 0))(m, d), None
+    import jax.numpy as jnp
 
-        d, _ = jax.lax.scan(body, d, None, length=5)
-        return d
+    mode = os.environ.get("TRACE_MODE", "phys")
+    if mode == "phys":
+        @jax.jit
+        def run(d):
+            def body(d, _):
+                return jax.vmap(fwd.step, in_axes=(maxes, 0))(m, d), None
 
-    d = run(state.data)
-    jax.block_until_ready(d.qpos)
+            d, _ = jax.lax.scan(body, d, None, length=5)
+            return d
+
+        arg = state.data
+        get = lambda out: out.qpos
+    else:
+        A = env.action_manager.total_action_dim
+        action = jnp.zeros((E, A), jnp.float32)
+
+        @jax.jit
+        def run(s):
+            def body(s, _):
+                s2, *_ = env._traced_step(s, action)
+                return s2, None
+
+            s, _ = jax.lax.scan(body, s, None, length=3)
+            return s
+
+        arg = state
+        get = lambda out: out.data.qpos
+
+    d = run(arg)
+    jax.block_until_ready(get(d))
 
     os.system(f"rm -rf {TRACE_DIR}")
     jax.profiler.start_trace(TRACE_DIR)
-    d = run(state.data)
-    jax.block_until_ready(d.qpos)
+    d = run(arg)
+    jax.block_until_ready(get(d))
     jax.profiler.stop_trace()
 
     # find trace json
