@@ -80,6 +80,36 @@ def _efc_kbid(solref, solimp, pos, diag_approx):
     return imp, k, b, D
 
 
+
+_contact_static_cache: dict[int, dict] = {}
+
+
+def _contact_static_tables(m: Model) -> dict:
+    """Per-slot static lookup tables for the gather-free compaction."""
+    key = id(m.pairs)
+    if key in _contact_static_cache:
+        return _contact_static_cache[key]
+    pt = m.pairs
+    S = pt.ncon
+    b1 = m.geom_bodyid[pt.con_geom1]
+    b2 = m.geom_bodyid[pt.con_geom2]
+    nbody = m.nbody
+    r1 = np.zeros((S, nbody))
+    r2 = np.zeros((S, nbody))
+    r1[np.arange(S), m.body_rootid[b1]] = 1.0
+    r2[np.arange(S), m.body_rootid[b2]] = 1.0
+    cols = np.asarray(pt.con_dim, np.float64)[:, None]
+    out = {
+        "root1_onehot": r1,
+        "root2_onehot": r2,
+        "cols": cols,
+        "b1": b1,
+        "b2": b2,
+    }
+    _contact_static_cache[key] = out
+    return out
+
+
 def make_constraint(m: Model, d: Data) -> Data:
     """Fill structured efc blocks (+ contact selection).
 
@@ -197,45 +227,60 @@ def make_constraint(m: Model, d: Data) -> Data:
         score = con.dist - con.includemargin
         neg, sel = jax.lax.top_k(-score, K)  # (K,) slot indices
         sel_active = (-neg) < 0.0  # selected slot is in contact
-        # ONE gather of the packed per-slot record for the selected slots
-        cpk = con.packed[sel]  # (K, 26)
+
+        # gather-free compaction: XLA's batched gather runs at ~26 GB/s on
+        # v5e (vs 340 GB/s stream). A one-hot selection matmul is ~2.5x
+        # faster for the env-dependent packed record, and turns every
+        # STATIC per-slot table lookup (body masks, roots, condim,
+        # invweights) into a true 2D MXU matmul.
+        S = pt.ncon
+        oh = (sel[:, None] == jnp.arange(S)[None, :]).astype(dtype)  # (K, S)
+        cpk = oh @ con.packed  # (K, 26)
         dist_k = cpk[..., 0]
         margin_k = cpk[..., 1]
         solref_k = cpk[..., 10:12]
         solimp_k = cpk[..., 12:17]
 
-        W = jnp.asarray(ancestor_dof_mask(m), dtype)  # (nbody, nv)
-        g1 = jnp.asarray(pt.con_geom1)[sel]
-        g2 = jnp.asarray(pt.con_geom2)[sel]
-        b1 = jnp.asarray(m.geom_bodyid)[g1]
-        b2 = jnp.asarray(m.geom_bodyid)[g2]
-        root = jnp.asarray(m.body_rootid)
-        O1 = d.subtree_com[root[b1]]
-        O2 = d.subtree_com[root[b2]]
+        W = ancestor_dof_mask(m)  # (nbody, nv) numpy
+        b1_np = m.geom_bodyid[pt.con_geom1]  # (S,) static
+        b2_np = m.geom_bodyid[pt.con_geom2]
+        stat = _contact_static_tables(m)
+        W1 = oh @ jnp.asarray(W[b1_np], dtype)  # (K, nv)
+        W2 = oh @ jnp.asarray(W[b2_np], dtype)
+        R1 = oh @ jnp.asarray(stat["root1_onehot"], dtype)  # (K, nbody)
+        R2 = oh @ jnp.asarray(stat["root2_onehot"], dtype)
+        O1 = R1 @ d.subtree_com  # (K, 3)
+        O2 = R2 @ d.subtree_com
+        dim_k = (oh @ jnp.asarray(stat["cols"], dtype))[..., 0]  # condim
+        # invweight0 is a traced model field (static numpy slot indexing,
+        # then one-hot select)
+        iw_slot = (
+            m.body_invweight0[stat["b1"], 0] + m.body_invweight0[stat["b2"], 0]
+        )
+        invweight_t = oh @ jnp.asarray(iw_slot, dtype)
 
         cd_ang = d.cdof[:, :3]  # (nv,3)
         cd_lin = d.cdof[:, 3:]
         pos_k = cpk[..., 2:5]  # (K,3)
 
-        def point_jac(bids, Ob):
+        def point_jac(Wrows, Ob):
             r = pos_k[:, None, :] - Ob[:, None, :]
             jac = cd_lin[None] + jnp.cross(
                 jnp.broadcast_to(cd_ang[None], (K, nv, 3)),
                 jnp.broadcast_to(r, (K, nv, 3)),
             )
-            return jac * W[bids][:, :, None]
+            return jac * Wrows[:, :, None]
 
-        jacd = point_jac(b2, O2) - point_jac(b1, O1)  # (K, nv, 3)
+        jacd = point_jac(W2, O2) - point_jac(W1, O1)  # (K, nv, 3)
         frame_k = cpk[..., 17:26].reshape(K, 3, 3)
         Jc3 = jnp.einsum("kfx,kvx->kfv", frame_k, jacd)  # (K, 3, nv)
 
         ndirs = R // 2  # friction directions incl. normal-paired layout
-        dim_k = jnp.asarray(pt.con_dim)[sel]  # (K,)
         frictionless = dim_k == 1
         mu = cpk[..., 5:10]  # (K, 5)
         # friction coefficient per direction, masked by the slot's condim:
         # dir i active iff condim > i+1 (t1,t2 need 3; torsion 4; rolls 6)
-        dir_need = np.array([3, 3, 4, 6, 6], np.int32)[:ndirs]
+        dir_need = np.array([3, 3, 4, 6, 6], np.float32)[:ndirs]
         mu_dirs = jnp.where(
             (dim_k[:, None] >= dir_need[None, :]) & ~frictionless[:, None],
             mu[:, :ndirs],
@@ -248,8 +293,8 @@ def make_constraint(m: Model, d: Data) -> Data:
         if ndirs > 2:
             # angular relative jacobian rotated into the contact frame
             jaca = (
-                jnp.broadcast_to(cd_ang[None], (K, nv, 3)) * W[b2][:, :, None]
-                - jnp.broadcast_to(cd_ang[None], (K, nv, 3)) * W[b1][:, :, None]
+                jnp.broadcast_to(cd_ang[None], (K, nv, 3)) * W2[:, :, None]
+                - jnp.broadcast_to(cd_ang[None], (K, nv, 3)) * W1[:, :, None]
             )
             Ja = jnp.einsum("kfx,kvx->kfv", frame_k, jaca)  # (K, 3, nv)
             dirJ += [Ja[:, 0], Ja[:, 1], Ja[:, 2]][: ndirs - 2]
@@ -268,7 +313,6 @@ def make_constraint(m: Model, d: Data) -> Data:
         row_idx = np.arange(R)
         row_on = row_idx[None, :] < row_count[:, None]  # (K, R)
 
-        invweight_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
         mu1 = mu_dirs[:, 0]
         diag_pyr = (
             2.0 * mu1 * mu1 * (1.0 + mu1 * mu1) * invweight_t / m.opt.impratio
@@ -289,7 +333,11 @@ def make_constraint(m: Model, d: Data) -> Data:
         margin_b.append(jnp.repeat(margin_k, R))
         fl_b.append(jnp.zeros((KR,), dtype))
         act_b.append(on)
-        d = d.replace(con_sel=sel, con_sel_active=sel_active)
+        d = d.replace(
+            con_sel=sel,
+            con_sel_active=sel_active,
+            con_packed_c=jnp.concatenate([cpk, dim_k[:, None]], axis=-1),
+        )
     elif KR:
         D_b.append(jnp.zeros((KR,), dtype))
         aref_b.append(jnp.zeros((KR,), dtype))

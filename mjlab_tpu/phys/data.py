@@ -126,6 +126,9 @@ class Data:
     qfrc_constraint: jax.Array  # (nv,)
     qacc: jax.Array  # (nv,)
     con_sel: jax.Array  # (ncon_max,) int32: compacted contact slot ids
+    con_packed_c: jax.Array  # (ncon_max, 27): packed record + condim of
+    # the selected slots (cached by make_constraint so the solver's force
+    # decode needs no gathers)
     con_sel_active: jax.Array  # (ncon_max,) bool
     con_force_c: jax.Array  # (ncon_max, 3) world force per COMPACTED slot
     # (on geom2; expand to full slots with phys.solver.decode_con_force)
@@ -205,6 +208,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         qfrc_constraint=z(m.nv),
         qacc=z(m.nv),
         con_sel=jnp.zeros((m.ncon_max,), jnp.int32),
+        con_packed_c=z(m.ncon_max, 27),
         con_sel_active=jnp.zeros((m.ncon_max,), bool),
         con_force_c=z(m.ncon_max, 3),
     )

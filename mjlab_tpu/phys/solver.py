@@ -407,11 +407,10 @@ def _solve_impl(m: Model, d: Data) -> Data:
     if K and m.pairs.ncon:
         base = m.neq_jnt + m.nv + m.nlimit
         rows = force[base : base + R * K].reshape(K, R)
-        sel = d.con_sel
-        cpk = d.contact.packed[sel]
+        cpk = d.con_packed_c
         mu = cpk[:, 5:10]
         frame = cpk[:, 17:26].reshape(K, 3, 3)  # rows [n, t1, t2]
-        dim_k = jnp.asarray(m.pairs.con_dim)[sel]
+        dim_k = cpk[:, 26]
         mu1 = jnp.where(dim_k == 1, 0.0, mu[:, 0])
         mu2 = jnp.where(dim_k == 1, 0.0, mu[:, 1])
         fn = jnp.sum(rows, axis=-1)
@@ -469,11 +468,10 @@ def _decode_contact_forces_batched(m: Model, d: Data, force):
     E = force.shape[0]
     base = m.neq_jnt + m.nv + m.nlimit
     rows = force[:, base : base + R * K].reshape(E, K, R)
-    sel = d.con_sel  # (E, K)
-    cpk = jnp.take_along_axis(d.contact.packed, sel[..., None], axis=1)
+    cpk = d.con_packed_c  # (E, K, 27)
     mu = cpk[..., 5:10]
     frame = cpk[..., 17:26].reshape(E, K, 3, 3)
-    dim_k = jnp.asarray(m.pairs.con_dim)[sel]
+    dim_k = cpk[..., 26]
     mu1 = jnp.where(dim_k == 1, 0.0, mu[..., 0])
     mu2 = jnp.where(dim_k == 1, 0.0, mu[..., 1])
     fn = jnp.sum(rows, axis=-1)
