@@ -151,6 +151,42 @@ class Entity:
                 act.edit_spec(self._spec, names)
                 self.actuators.append(act)
 
+        self._add_initial_state_keyframe()
+
+    def _add_initial_state_keyframe(self) -> None:
+        """Synthesize an 'init_state' keyframe on the entity spec from
+        cfg.init_state (reference entity/entity.py:170: Scene extracts and
+        merges these into the scene-level keyframe; standalone compiles
+        get a usable reset key)."""
+        ist = self.cfg.init_state
+        if ist.joint_pos is None:
+            if self._spec.keys:
+                self._spec.keys[0].name = "init_state"
+            return
+        qpos: list[float] = []
+        if not self.is_fixed_base:
+            qpos += list(ist.pos) + list(ist.rot)
+        joint_names = [j.name for j in self._non_free_joints]
+        vals = [0.0] * len(joint_names)
+        if joint_names:
+            ids, _, v = resolve_matching_names_values(ist.joint_pos, joint_names)
+            for i, x in zip(ids, v):
+                vals[i] = float(x)
+        # qpos width per joint: hinge/slide 1 (ball/free not in
+        # _non_free_joints joint_pos mapping)
+        qpos += vals
+        # ctrl: position actuators hold the init joint pos
+        ctrl: list[float] = []
+        by_name = dict(zip(joint_names, vals))
+        for a in self._spec.actuators:
+            tgt = by_name.get(a.target, 0.0)
+            is_position = float(a.gainprm[0]) > 0 and float(a.biasprm[1]) < 0
+            ctrl.append(tgt if is_position else 0.0)
+        try:
+            self._spec.add_key(name="init_state", qpos=qpos, ctrl=ctrl)
+        except Exception:
+            pass  # specs with ball joints etc: skip (scene still works)
+
     # -- static properties --
 
     @property
