@@ -110,7 +110,7 @@ def _euler_qacc(m: Model, d: Data) -> jax.Array:
     h = m.opt.timestep
     Mh = d.qM + h * jnp.diag(m.dof_damping)
     Li = linalg.tri_inv(linalg.chol_factor_blocked(Mh))
-    return linalg.chol_solve_inv(Li, d.qM @ d.qacc)
+    return linalg.chol_solve_inv(Li, d.qM @ d.qacc, Mh)
 
 
 def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
@@ -121,7 +121,7 @@ def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
         dfdv = _actuator_vel_deriv(m, d)
         Mh = Mh - h * (d.actuator_moment.T * dfdv) @ d.actuator_moment
     Li = linalg.tri_inv(linalg.chol_factor_blocked(Mh))
-    return linalg.chol_solve_inv(Li, d.qM @ d.qacc)
+    return linalg.chol_solve_inv(Li, d.qM @ d.qacc, Mh)
 
 
 def step(m: Model, d: Data) -> Data:

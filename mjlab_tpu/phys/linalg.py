@@ -192,7 +192,23 @@ def chol_factor_blocked(H: jnp.ndarray, ridge: float | None = None) -> jnp.ndarr
     return Ls / scale[..., :, None]
 
 
-def chol_solve_inv(Linv: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """Solve (L L^T) x = g given Linv = L^-1: two batched matvecs."""
-    y = jnp.einsum("...ij,...j->...i", Linv, g)
-    return jnp.einsum("...ji,...j->...i", Linv, y)
+def chol_solve_inv(
+    Linv: jnp.ndarray, g: jnp.ndarray, H: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Solve (L L^T) x = g given Linv = L^-1: two batched matvecs.
+
+    Unlike triangular substitution, the explicit-inverse product loses
+    ~cond(H) ulps in f32 — enough to destabilize the implicit integrator
+    on stiff humanoid mass matrices (observed as training blow-ups on
+    TPU). Passing H enables ONE iterative-refinement step (two extra
+    matvecs), which restores backward-stable accuracy."""
+
+    def solve2(r):
+        y = jnp.einsum("...ij,...j->...i", Linv, r)
+        return jnp.einsum("...ji,...j->...i", Linv, y)
+
+    x = solve2(g)
+    if H is not None:
+        r = g - jnp.einsum("...ij,...j->...i", H, x)
+        x = x + solve2(r)
+    return x

@@ -103,8 +103,9 @@ def crb(m: Model, d: Data) -> Data:
 
 
 def solve_m(d: Data, x: jax.Array) -> jax.Array:
-    """Solve M y = x using the cached inverted Cholesky factor."""
-    return linalg.chol_solve_inv(d.qLDinv, x)
+    """Solve M y = x using the cached inverted Cholesky factor (one
+    refinement step against qM for f32 stability)."""
+    return linalg.chol_solve_inv(d.qLDinv, x, d.qM)
 
 
 def com_vel(m: Model, d: Data) -> Data:
