@@ -66,7 +66,11 @@ class RewardManager(ManagerBase):
                 step_values[name] = jnp.zeros((self.num_envs,), jnp.float32)
                 continue
             value = cfg.func(self._env, **cfg.params) * (weights[name] * dt)
+            # scrub nan/inf (reference reward_manager.py:86-87) and clamp
+            # finite-but-diverged magnitudes so a single exploding env
+            # cannot poison the return statistics
             value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0)
+            value = jnp.clip(value, -1e6, 1e6)
             total = total + value
             sums[name] = sums[name] + value
             step_values[name] = value

@@ -136,4 +136,19 @@ def step(m: Model, d: Data) -> Data:
         raise NotImplementedError(f"integrator {m.opt.integrator}")
     qvel = d.qvel + h * qacc_int
     qpos = _integrate_pos(m, d.qpos, qvel, h)
+    # mj_checkPos/Vel/Acc parity (engine_forward.c): a diverged world
+    # (non-finite or |.| > mjMAXVAL) resets to qpos0 with zero velocity
+    # instead of propagating garbage. Per-world, masked, f32-critical.
+    MAXVAL = 1e10
+    bad = (
+        ~jnp.isfinite(qpos).all()
+        | ~jnp.isfinite(qvel).all()
+        | ~jnp.isfinite(qacc_int).all()
+        | (jnp.max(jnp.abs(qpos)) > MAXVAL)
+        | (jnp.max(jnp.abs(qvel)) > MAXVAL)
+        | (jnp.max(jnp.abs(qacc_int)) > MAXVAL)
+    )
+    qpos = jnp.where(bad, jnp.asarray(m.qpos0, qpos.dtype), qpos)
+    qvel = jnp.where(bad, 0.0, qvel)
+    d = d.replace(qacc_warmstart=jnp.where(bad, 0.0, d.qacc_warmstart))
     return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)

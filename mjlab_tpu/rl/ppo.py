@@ -67,8 +67,17 @@ def norm_init(dim: int) -> NormState:
 
 
 def norm_update(s: NormState, batch: jax.Array) -> NormState:
-    """Batched Welford update of running mean/var."""
+    """Batched Welford update of running mean/var. The batch is clipped
+    to mean +- 20 sigma first so one diverged env cannot poison the
+    running statistics permanently."""
+    sigma = jnp.sqrt(s.var + 1e-8)
     b = batch.reshape(-1, batch.shape[-1])
+    # (first batch unclipped: the running stats are not meaningful yet)
+    b = jnp.where(
+        s.count > 0,
+        jnp.clip(b, s.mean - 20.0 * sigma, s.mean + 20.0 * sigma),
+        b,
+    )
     n_b = b.shape[0]
     mean_b = jnp.mean(b, axis=0)
     var_b = jnp.var(b, axis=0)
@@ -83,7 +92,10 @@ def norm_update(s: NormState, batch: jax.Array) -> NormState:
 
 
 def norm_apply(s: NormState, x: jax.Array) -> jax.Array:
-    return (x - s.mean) / jnp.sqrt(s.var + 1e-8)
+    # clip normalized obs: a single diverged env otherwise poisons the
+    # whole batch through the policy/value nets (rsl-rl's normalizer has
+    # no clip; +-10 sigma leaves healthy observations untouched)
+    return jnp.clip((x - s.mean) / jnp.sqrt(s.var + 1e-8), -10.0, 10.0)
 
 
 @pytree
