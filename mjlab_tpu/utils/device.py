@@ -1,0 +1,46 @@
+"""Accelerator selection (the TPU analog of reference
+src/mjlab/utils/gpu.py:select_gpus, which indexes CUDA_VISIBLE_DEVICES).
+
+On JAX the visible-device set is controlled before backend init via
+TPU_VISIBLE_DEVICES / CUDA_VISIBLE_DEVICES / JAX_PLATFORMS; after init,
+sub-selection happens by passing an explicit device list to the mesh
+(`mjlab_tpu.parallel.make_env_mesh(devices)`), so this helper resolves a
+user spec into that list.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Literal
+
+
+def select_devices(
+    device_ids: list[int] | Literal["all"] | None = "all",
+):
+    """Resolve a device spec into (devices, count).
+
+    Args:
+      device_ids: indices into the currently visible accelerator list
+        (`jax.devices()`), "all" for every visible chip, or None to force
+        the CPU backend.
+
+    Returns:
+      (devices, count): a list of jax devices to build the mesh over, or
+      (None, 0) for CPU mode.
+    """
+    if device_ids is None:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        return None, 0
+    import jax
+
+    visible = jax.devices()
+    if device_ids == "all":
+        return visible, len(visible)
+    missing = [i for i in device_ids if i >= len(visible)]
+    if missing:
+        raise ValueError(
+            f"device indices {missing} out of range: only "
+            f"{len(visible)} visible devices ({visible})"
+        )
+    picked = [visible[i] for i in device_ids]
+    return picked, len(picked)
