@@ -706,4 +706,8 @@ def collision(m, d):
         ],
         axis=-1,
     )
-    return d.replace(contact=d.contact.replace(packed=packed))
+    return d.replace(
+        contact=d.contact.replace(packed=packed),
+        condist=dist,
+        connormal=frame[..., 0, :],
+    )

@@ -1,11 +1,13 @@
 """Constraint assembly: efc rows for dof friction, joint limits and
-contacts (pyramidal cone), with MuJoCo's solref/solimp semantics.
+contacts (pyramidal OR elliptic cone), with MuJoCo's solref/solimp
+semantics.
 
 Static row layout (computed in put_model):
   [0, nv)                 dof friction rows (always allocated; active iff
                           dof_frictionloss > 0 — DR-friendly)
   [nv, nv+nlimit)         joint limit rows (one per limited hinge/slide)
-  [nv+nlimit, nefc)       contact rows: 4 rows per COMPACTED contact slot
+  [nv+nlimit, nefc)       contact rows per COMPACTED slot: 2*(condim-1)
+                          pyramid rows, or condim direct rows (elliptic)
 
 Contact compaction (TPU-native nconmax): the narrowphase evaluates every
 candidate pair (cheap vectorized math), but constraint rows are only built
@@ -275,7 +277,8 @@ def make_constraint(m: Model, d: Data) -> Data:
         frame_k = cpk[..., 17:26].reshape(K, 3, 3)
         Jc3 = jnp.einsum("kfx,kvx->kfv", frame_k, jacd)  # (K, 3, nv)
 
-        ndirs = R // 2  # friction directions incl. normal-paired layout
+        elliptic = int(m.opt.cone) != 0
+        ndirs = (R - 1) if elliptic else R // 2
         frictionless = dim_k == 1
         mu = cpk[..., 5:10]  # (K, 5)
         # friction coefficient per direction, masked by the slot's condim:
@@ -298,39 +301,73 @@ def make_constraint(m: Model, d: Data) -> Data:
             )
             Ja = jnp.einsum("kfx,kvx->kfv", frame_k, jaca)  # (K, 3, nv)
             dirJ += [Ja[:, 0], Ja[:, 1], Ja[:, 2]][: ndirs - 2]
-        rows_list = []
-        for i in range(ndirs):
-            rows_list.append(Jn + mu_dirs[:, i, None] * dirJ[i])
-            rows_list.append(Jn - mu_dirs[:, i, None] * dirJ[i])
-        rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv)
-
-        # row activity: condim-1 slots use only the first 4 rows (mu=0,
-        # normal split over 4 -> x4 R, numerically equal to one normal
-        # row); condim>=3 slots use 2*(condim-1) rows.
-        row_count = jnp.where(
-            frictionless, 4, 2 * (jnp.maximum(dim_k, 3) - 1)
-        )  # (K,)
-        row_idx = np.arange(R)
-        row_on = row_idx[None, :] < row_count[:, None]  # (K, R)
-
-        mu1 = mu_dirs[:, 0]
-        diag_pyr = (
-            2.0 * mu1 * mu1 * (1.0 + mu1 * mu1) * invweight_t / m.opt.impratio
-        )
-        # frictionless: single-normal-row diagApprox, split over 4 rows (x4 R)
-        diag_approx = jnp.where(frictionless, invweight_t * 4.0, diag_pyr)
 
         pos_c = dist_k - margin_k
-        imp, kk, bb, Dc = _efc_kbid(solref_k, solimp_k, pos_c, diag_approx)
-        vel = jnp.einsum("krv,v->kr", rowsJ, d.qvel)  # (K, R)
-        aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
+        if elliptic:
+            # elliptic rows: [normal, t1, t2, torsion, roll1, roll2][:R].
+            # Formulas measured against mujoco mj_forward (cone=elliptic):
+            #   D_i = D_n * impratio * (mu_i / mu_0)^2   (friction rows)
+            #   aref_n = -b vel_n - k imp pos;  aref_i = -b vel_i
+            #   efc_pos/margin are zero on friction rows
+            rows_list = [Jn] + [dirJ[i] for i in range(ndirs)]
+            rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv)
+            row_idx = np.arange(R)
+            row_on = row_idx[None, :] < jnp.minimum(dim_k, R)[:, None]
+
+            imp, kk, bb, Dn = _efc_kbid(
+                solref_k, solimp_k, pos_c, invweight_t
+            )
+            mu0 = jnp.maximum(mu_dirs[:, 0], _MINVAL)
+            ratio2 = jnp.square(mu_dirs / mu0[:, None])  # (K, ndirs)
+            D_rows = jnp.concatenate(
+                [Dn[:, None], Dn[:, None] * m.opt.impratio * ratio2], axis=1
+            )  # (K, R)
+            vel = jnp.einsum("krv,v->kr", rowsJ, d.qvel)  # (K, R)
+            aref_c = -bb[:, None] * vel
+            aref_c = aref_c.at[:, 0].add(-kk * imp * pos_c)
+            pos_rows = jnp.concatenate(
+                [dist_k[:, None], jnp.zeros((K, R - 1), dtype)], axis=1
+            )
+            margin_rows = jnp.concatenate(
+                [margin_k[:, None], jnp.zeros((K, R - 1), dtype)], axis=1
+            )
+            D_flat = D_rows.reshape(-1)
+        else:
+            rows_list = []
+            for i in range(ndirs):
+                rows_list.append(Jn + mu_dirs[:, i, None] * dirJ[i])
+                rows_list.append(Jn - mu_dirs[:, i, None] * dirJ[i])
+            rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv)
+
+            # row activity: condim-1 slots use only the first 4 rows (mu=0,
+            # normal split over 4 -> x4 R, numerically equal to one normal
+            # row); condim>=3 slots use 2*(condim-1) rows.
+            row_count = jnp.where(
+                frictionless, 4, 2 * (jnp.maximum(dim_k, 3) - 1)
+            )  # (K,)
+            row_idx = np.arange(R)
+            row_on = row_idx[None, :] < row_count[:, None]  # (K, R)
+
+            mu1 = mu_dirs[:, 0]
+            diag_pyr = (
+                2.0 * mu1 * mu1 * (1.0 + mu1 * mu1) * invweight_t / m.opt.impratio
+            )
+            # frictionless: single-normal-row diagApprox over 4 rows (x4 R)
+            diag_approx = jnp.where(frictionless, invweight_t * 4.0, diag_pyr)
+
+            imp, kk, bb, Dc = _efc_kbid(solref_k, solimp_k, pos_c, diag_approx)
+            vel = jnp.einsum("krv,v->kr", rowsJ, d.qvel)  # (K, R)
+            aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
+            pos_rows = jnp.broadcast_to(dist_k[:, None], (K, R))
+            margin_rows = jnp.broadcast_to(margin_k[:, None], (K, R))
+            D_flat = jnp.repeat(Dc, R)
 
         on = (sel_active[:, None] & row_on).reshape(-1)
         Jc = jnp.where(on[:, None], rowsJ.reshape(KR, nv), 0.0)
-        D_b.append(jnp.where(on, jnp.repeat(Dc, R), 0.0))
+        D_b.append(jnp.where(on, D_flat, 0.0))
         aref_b.append(aref_c.reshape(-1))
-        pos_b.append(jnp.repeat(dist_k, R))
-        margin_b.append(jnp.repeat(margin_k, R))
+        pos_b.append(pos_rows.reshape(-1))
+        margin_b.append(margin_rows.reshape(-1))
         fl_b.append(jnp.zeros((KR,), dtype))
         act_b.append(on)
         d = d.replace(

@@ -125,6 +125,10 @@ class Data:
     efc_force: jax.Array  # (nefc,)
     qfrc_constraint: jax.Array  # (nv,)
     qacc: jax.Array  # (nv,)
+    # full-slot contact summaries for sensors (cheap; the packed table may
+    # be absent in the lane-major engine's slim Data)
+    condist: jax.Array  # (ncon,) signed distance per slot
+    connormal: jax.Array  # (ncon, 3) contact normal per slot
     con_sel: jax.Array  # (ncon_max,) int32: compacted contact slot ids
     con_packed_c: jax.Array  # (ncon_max, 27): packed record + condim of
     # the selected slots (cached by make_constraint so the solver's force
@@ -132,6 +136,8 @@ class Data:
     con_sel_active: jax.Array  # (ncon_max,) bool
     con_force_c: jax.Array  # (ncon_max, 3) world force per COMPACTED slot
     # (on geom2; expand to full slots with phys.solver.decode_con_force)
+    con_torque_c: jax.Array  # (ncon_max, 3) world contact torque about the
+    # contact point (nonzero only for condim>3: torsional/rolling friction)
 
 
 def make_data(m: Model, dtype=jnp.float32) -> Data:
@@ -207,10 +213,13 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         efc_force=z(m.nefc),
         qfrc_constraint=z(m.nv),
         qacc=z(m.nv),
+        condist=jnp.full((ncon,), 1e10, dtype),
+        connormal=jnp.tile(jnp.array([0.0, 0, 1.0], dtype), (ncon, 1)),
         con_sel=jnp.zeros((m.ncon_max,), jnp.int32),
         con_packed_c=z(m.ncon_max, 27),
         con_sel_active=jnp.zeros((m.ncon_max,), bool),
         con_force_c=z(m.ncon_max, 3),
+        con_torque_c=z(m.ncon_max, 3),
     )
 
 

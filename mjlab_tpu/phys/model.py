@@ -12,7 +12,6 @@ recompilation (vmap with a Model-pytree of in_axes).
 
 from __future__ import annotations
 
-import warnings
 from typing import Any
 
 import jax
@@ -51,6 +50,7 @@ class Option:
 
     timestep: jax.Array
     gravity: jax.Array  # (3,)
+    magnetic: jax.Array  # (3,) global magnetic flux (magnetometer sensors)
     impratio: jax.Array
 
     # static solver configuration
@@ -249,6 +249,7 @@ def put_model(
     opt = Option(
         timestep=f(mj.opt.timestep),
         gravity=f(mj.opt.gravity),
+        magnetic=f(mj.opt.magnetic),
         impratio=f(mj.opt.impratio),
         integrator=int(mj.opt.integrator),
         cone=int(mj.opt.cone),
@@ -265,18 +266,18 @@ def put_model(
     # order: [dof friction (nv)] [joint limits] [4 rows per compacted contact]
     limit_jntid = np.nonzero(mj.jnt_limited)[0].astype(np.int32)
     nlimit = len(limit_jntid)
-    if int(mj.opt.cone) != CONE_PYRAMIDAL:
-        warnings.warn(
-            "elliptic cone not yet implemented; falling back to the "
-            "pyramidal approximation"
-        )
     if nconmax is None:
         # heuristic ~ mjwarp's default regime; reference tasks set 35
         nconmax = 64
     ncon_max = int(min(pairs.ncon, nconmax))
-    # pyramidal rows per compacted contact slot: 2*(condim-1), condim >= 3
     maxdim = int(max(3, pairs.pair_condim.max() if len(pairs.pair_condim) else 3))
-    rows_per_con = 2 * (maxdim - 1)
+    if int(mj.opt.cone) == CONE_PYRAMIDAL:
+        # pyramidal rows per compacted slot: 2*(condim-1), condim >= 3
+        rows_per_con = 2 * (maxdim - 1)
+    else:
+        # elliptic rows per compacted slot: one per contact dim
+        # [normal, t1, t2, torsion, roll1, roll2][:condim]
+        rows_per_con = maxdim
 
     # joint equality constraints
     neq_jnt = int(mj.neq)

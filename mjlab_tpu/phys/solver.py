@@ -117,6 +117,118 @@ def _cost(m: Model, jar, D, fl, is_friction, is_eq):
     )
 
 
+# ---------------------------------------------------------------------------
+# Elliptic friction cone (m.opt.cone == 1)
+#
+# Contact block rows are [normal, t1, t2, torsion, roll1, roll2][:R] with the
+# impratio/mu^2-scaled D from constraint.py. In the D^{1/2}-whitened
+# coordinates x~ = jar * sqrt(D) the force cone becomes CIRCULAR with
+# coefficient mu~ = mu_0/sqrt(impratio), so the cone projection (and hence
+# the convex cost s, its gradient = -force, and Hessian) has closed form
+# with three zones:
+#   bottom (mu~ x~_n + T <= 0, T = |x~_t|): fully quadratic, f = -D jar
+#   top    (x~_n >= mu~ T): separated, f = 0
+#   middle: s = (|x~|^2 - w^2/(1+mu~^2))/2, w = mu~ x~_n + T  (on-cone slide)
+# Same optimum as MuJoCo's elliptic Newton solver (same convex program);
+# validated against mujoco.mj_forward qacc/efc_force in
+# tests/test_phys_elliptic.py.
+# ---------------------------------------------------------------------------
+
+
+def _ell_scaled(jar_c, D_c, mu0, impratio):
+    sD = jnp.sqrt(D_c)  # (K, R); zero rows beyond the slot's condim
+    x = jar_c * sD
+    xn = x[:, 0]
+    t = x[:, 1:]
+    T = jnp.sqrt(jnp.maximum(jnp.sum(t * t, -1), _EPS * _EPS))
+    mu_t = mu0 / jnp.sqrt(jnp.maximum(impratio, _EPS))  # (K,)
+    mu_pos = mu_t > 1e-9
+    w = mu_t * xn + T
+    bottom = jnp.where(mu_pos, w <= 0, xn < 0)
+    top = (~bottom) & jnp.where(mu_pos, xn >= mu_t * T, xn >= 0)
+    mid = (~bottom) & (~top)
+    return dict(
+        sD=sD, x=x, xn=xn, t=t, T=T, mu=mu_t, w=w,
+        bottom=bottom, top=top, mid=mid, c1=1.0 + mu_t * mu_t,
+    )
+
+
+def _ell_force(z, jar_c, D_c):
+    """(K, R) contact force rows = -grad s."""
+    f_quad = -D_c * jar_c
+    c1 = z["c1"]
+    fn_mid = z["sD"][:, 0] * (z["mu"] * z["w"] / c1 - z["xn"])
+    ft_mid = -z["sD"][:, 1:] * z["t"] * (
+        1.0 - z["w"] / (c1 * z["T"])
+    )[:, None]
+    f_mid = jnp.concatenate([fn_mid[:, None], ft_mid], axis=1)
+    zero = jnp.zeros_like(jar_c)
+    return jnp.where(
+        z["bottom"][:, None], f_quad, jnp.where(z["mid"][:, None], f_mid, zero)
+    )
+
+
+def _ell_cost(z):
+    """Scalar cost contribution of the contact block."""
+    norm2 = z["xn"] * z["xn"] + jnp.sum(z["t"] * z["t"], -1)
+    s_bot = 0.5 * norm2
+    s_mid = 0.5 * (norm2 - z["w"] * z["w"] / z["c1"])
+    return jnp.sum(
+        jnp.where(z["bottom"], s_bot, jnp.where(z["mid"], s_mid, 0.0))
+    )
+
+
+def _ell_curv(z, v_c, D_c):
+    """sum_k v^T (hess s) v for the line search second derivative."""
+    vt = v_c * z["sD"]
+    vn = vt[:, 0]
+    vtt = vt[:, 1:]
+    that = z["t"] / z["T"][:, None]
+    tv = jnp.sum(that * vtt, -1)
+    quad = jnp.sum(vt * vt, -1)
+    gw = z["mu"] * vn + tv
+    mid_term = quad - (
+        gw * gw + (z["w"] / z["T"]) * (jnp.sum(vtt * vtt, -1) - tv * tv)
+    ) / z["c1"]
+    per_con = jnp.where(
+        z["bottom"], quad, jnp.where(z["mid"], jnp.maximum(mid_term, 0.0), 0.0)
+    )
+    return jnp.sum(per_con)
+
+
+def _ell_hess_blocks(z, D_c):
+    """(K, R, R) Hessian blocks of s for the Newton H assembly."""
+    K, R = D_c.shape
+    sD = z["sD"]
+    eye = jnp.eye(R, dtype=D_c.dtype)
+    that = z["t"] / z["T"][:, None]  # (K, R-1)
+    gradw = jnp.concatenate([z["mu"][:, None], that], axis=1)  # (K, R)
+    # projector onto the friction rows
+    P_t = jnp.zeros((R, R), D_c.dtype).at[1:, 1:].set(
+        jnp.eye(R - 1, dtype=D_c.dtype)
+    )
+    that_full = jnp.concatenate(
+        [jnp.zeros((K, 1), D_c.dtype), that], axis=1
+    )  # (K, R)
+    B_mid = (
+        eye[None]
+        - (
+            gradw[:, :, None] * gradw[:, None, :]
+            + (z["w"] / z["T"])[:, None, None]
+            * (P_t[None] - that_full[:, :, None] * that_full[:, None, :])
+        )
+        / z["c1"][:, None, None]
+    )
+    B_mid = sD[:, :, None] * B_mid * sD[:, None, :]
+    B_bot = eye[None] * D_c[:, :, None]
+    zero = jnp.zeros((K, R, R), D_c.dtype)
+    return jnp.where(
+        z["bottom"][:, None, None],
+        B_bot,
+        jnp.where(z["mid"][:, None, None], B_mid, zero),
+    )
+
+
 def _solve_impl(m: Model, d: Data) -> Data:
     """Newton solve for constrained qacc. Single world; vmap for batching."""
     dtype = d.qpos.dtype
@@ -179,9 +291,41 @@ def _solve_impl(m: Model, d: Data) -> Data:
             out = out + Jc.T @ f[s_con]
         return out
 
+    K = m.ncon_max
+    R = m.rows_per_con
+    elliptic = bool(int(m.opt.cone) != 0 and K and m.pairs.ncon)
+    nc_end = s_con.start  # rows before the contact block
+    if elliptic:
+        D_c = D[s_con].reshape(K, R)
+        mu0_k = d.con_packed_c[:, 5]  # slide friction per compacted slot
+
+        def ell_z(jar):
+            return _ell_scaled(
+                jar[s_con].reshape(K, R), D_c, mu0_k, m.opt.impratio
+            )
+
+    def row_forces(jar):
+        """(force, quad, z): full force rows; quad valid on non-contact
+        rows only under elliptic (contacts get block Hessians via z)."""
+        f, q = _row_forces(m, jar, D, fl, is_friction, is_eq)
+        if not elliptic:
+            return f, q, None
+        z = ell_z(jar)
+        fc = _ell_force(z, jar[s_con].reshape(K, R), D_c)
+        return jnp.concatenate([f[:nc_end], fc.reshape(-1)]), q, z
+
+    def cost_rows_fn(jar):
+        if not elliptic:
+            return _cost(m, jar, D, fl, is_friction, is_eq)
+        base = _cost(
+            m, jar[:nc_end], D[:nc_end], fl[:nc_end],
+            is_friction[:nc_end], is_eq[:nc_end],
+        )
+        return base + _ell_cost(ell_z(jar))
+
     def cost_from_jar(x, jar):
         dx = x - a_smooth
-        return 0.5 * dx @ (M @ dx) + _cost(m, jar, D, fl, is_friction, is_eq)
+        return 0.5 * dx @ (M @ dx) + cost_rows_fn(jar)
 
     def total_cost(x):
         return cost_from_jar(x, Jmul(x) - aref)
@@ -304,9 +448,15 @@ def _solve_impl(m: Model, d: Data) -> Data:
 
         def dphi(a):
             jar_a = jar + a * v
-            force_a, quad_a = _row_forces(m, jar_a, D, fl, is_friction, is_eq)
+            force_a, quad_a, z_a = row_forces(jar_a)
             d1 = q1 + a * q2 - v @ force_a
-            d2 = q2 + jnp.sum(jnp.where(quad_a, D, 0.0) * v * v)
+            if elliptic:
+                d2 = q2 + jnp.sum(
+                    jnp.where(quad_a[:nc_end], D[:nc_end], 0.0)
+                    * v[:nc_end] * v[:nc_end]
+                ) + _ell_curv(z_a, v[s_con].reshape(K, R), D_c)
+            else:
+                d2 = q2 + jnp.sum(jnp.where(quad_a, D, 0.0) * v * v)
             return d1, d2
 
         g0, _ = dphi(jnp.zeros((), dtype))
@@ -331,14 +481,20 @@ def _solve_impl(m: Model, d: Data) -> Data:
     import os as _os
 
     _ls_mode = _os.environ.get("MJLAB_TPU_LINESEARCH", "bisect")
-    linesearch = exact_linesearch if _ls_mode == "exact" else bisect_linesearch
+    # the sort-based exact search relies on phi' being piecewise-LINEAR,
+    # which the elliptic middle zone breaks — always bisect there
+    linesearch = (
+        exact_linesearch
+        if (_ls_mode == "exact" and not elliptic)
+        else bisect_linesearch
+    )
 
     def newton_iter(carry):
         # jar = J x - aref is carried across iterations and updated
         # incrementally (jar += alpha * J dx), saving two J-sized matvec
         # passes per iteration — J dominates the solver's memory traffic.
         i, x, jar, cost_x, done = carry
-        force, quad = _row_forces(m, jar, D, fl, is_friction, is_eq)
+        force, quad, z_h = row_forces(jar)
         grad = M @ (x - a_smooth) - JTmul(force)
         Dq = jnp.where(quad, D, 0.0)
         # H = M + J^T Dq J by block: friction/limit rows only touch the
@@ -348,7 +504,14 @@ def _solve_impl(m: Model, d: Data) -> Data:
             diag = diag + Dq[s_lim] @ Pj  # side^2 == 1
         H = M + jnp.diag(diag)
         if Jc.shape[0]:
-            H = H + (Jc.T * Dq[s_con]) @ Jc
+            if elliptic:
+                B = _ell_hess_blocks(z_h, D_c)  # (K, R, R)
+                Jb = Jc.reshape(K, R, nv)
+                H = H + jnp.einsum(
+                    "kri,krj->ij", Jb, jnp.einsum("krs,ksj->krj", B, Jb)
+                )
+            else:
+                H = H + (Jc.T * Dq[s_con]) @ Jc
         if neq:
             H = H + (Jeq.T * Dq[:neq]) @ Jeq
         # the fused one-shot factor+solve: inside the vmapped while body
@@ -392,7 +555,7 @@ def _solve_impl(m: Model, d: Data) -> Data:
     )
 
     jar = Jmul(x) - aref
-    force, _ = _row_forces(m, jar, D, fl, is_friction, is_eq)
+    force, _, _ = row_forces(jar)
     qfrc_constraint = JTmul(force)
 
     # decode per-contact world forces for the compacted slots
@@ -402,24 +565,15 @@ def _solve_impl(m: Model, d: Data) -> Data:
     # consumers rarely need — see decode_con_force / the contact
     # sensor's one-hot expansion.
     con_force_c = d.con_force_c
+    con_torque_c = d.con_torque_c
     K = m.ncon_max
     R = m.rows_per_con
     if K and m.pairs.ncon:
         base = m.neq_jnt + m.nv + m.nlimit
         rows = force[base : base + R * K].reshape(K, R)
-        cpk = d.con_packed_c
-        mu = cpk[:, 5:10]
-        frame = cpk[:, 17:26].reshape(K, 3, 3)  # rows [n, t1, t2]
-        dim_k = cpk[:, 26]
-        mu1 = jnp.where(dim_k == 1, 0.0, mu[:, 0])
-        mu2 = jnp.where(dim_k == 1, 0.0, mu[:, 1])
-        fn = jnp.sum(rows, axis=-1)
-        ft1 = mu1 * (rows[:, 0] - rows[:, 1])
-        ft2 = mu2 * (rows[:, 2] - rows[:, 3])
-        fc = jnp.stack([fn, ft1, ft2], axis=-1)  # (K, 3) contact frame
-        fw = jnp.einsum("kf,kfx->kx", fc, frame)
-        # where (not multiply): inactive far slots may hold non-finite data
-        con_force_c = jnp.where(d.con_sel_active[:, None], fw, 0.0)
+        con_force_c, con_torque_c = _contact_force_torque(
+            m, rows, d.con_packed_c, d.con_sel_active
+        )
 
     return d.replace(
         qacc=x,
@@ -427,6 +581,7 @@ def _solve_impl(m: Model, d: Data) -> Data:
         qfrc_constraint=qfrc_constraint,
         qacc_warmstart=x,
         con_force_c=con_force_c,
+        con_torque_c=con_torque_c,
     )
 
 
@@ -458,28 +613,72 @@ def decode_con_force(m: Model, d: Data) -> jnp.ndarray:
     )
 
 
+def _contact_force_torque(m: Model, rows, cpk, sel_active):
+    """mj_contactForce decode for the compacted slots, any condim/cone.
+
+    rows: (..., K, R) solved contact efc forces (pyramid edge forces, or
+    direct per-dim components under the elliptic cone); cpk: (..., K, 27)
+    packed records. Returns world (force, torque) about the contact point,
+    each (..., K, 3); torque is nonzero only for condim>3 components."""
+    R = m.rows_per_con
+    mu = cpk[..., 5:10]
+    frame_rows = cpk[..., 17:26]
+    frame = frame_rows.reshape(frame_rows.shape[:-1] + (3, 3))
+    dim_k = cpk[..., 26]
+
+    if int(m.opt.cone) != 0:
+        # elliptic: rows ARE the contact-frame components [fn, t1, t2,
+        # torsion, roll1, roll2][:R]
+        def row_or_zero(i):
+            if i < R:
+                return rows[..., i]
+            return jnp.zeros_like(dim_k)
+
+        fc = jnp.stack([row_or_zero(0), row_or_zero(1), row_or_zero(2)], -1)
+        fw = jnp.einsum("...kf,...kfx->...kx", fc, frame)
+        force = jnp.where(sel_active[..., None], fw, 0.0)
+        if R > 3:
+            tc = jnp.stack([row_or_zero(3), row_or_zero(4), row_or_zero(5)], -1)
+            tw = jnp.einsum("...kf,...kfx->...kx", tc, frame)
+            torque = jnp.where(sel_active[..., None], tw, 0.0)
+        else:
+            torque = jnp.zeros_like(force)
+        return force, torque
+
+    def comp(i, dim_req):
+        # friction component i (1-based) <- rows 2(i-1), 2(i-1)+1,
+        # present when R >= 2i
+        if R < 2 * i:
+            return jnp.zeros_like(dim_k)
+        c = jnp.where(dim_k >= dim_req, mu[..., i - 1], 0.0)
+        return c * (rows[..., 2 * (i - 1)] - rows[..., 2 * (i - 1) + 1])
+
+    fn = jnp.sum(rows, axis=-1)
+    fc = jnp.stack([fn, comp(1, 3), comp(2, 3)], axis=-1)
+    fw = jnp.einsum("...kf,...kfx->...kx", fc, frame)
+    # where (not multiply): inactive far slots may hold non-finite data
+    force = jnp.where(sel_active[..., None], fw, 0.0)
+
+    if R > 4:
+        tc = jnp.stack([comp(3, 4), comp(4, 6), comp(5, 6)], axis=-1)
+        tw = jnp.einsum("...kf,...kfx->...kx", tc, frame)
+        torque = jnp.where(sel_active[..., None], tw, 0.0)
+    else:
+        torque = jnp.zeros_like(force)
+    return force, torque
+
+
 def _decode_contact_forces_batched(m: Model, d: Data, force):
     """Batched mj_contactForce decode (mirrors the tail of _solve_impl),
-    compacted (E, K, 3)."""
+    compacted (E, K, 3) force and torque."""
     K = m.ncon_max
     R = m.rows_per_con
     if not (K and m.pairs.ncon):
-        return d.con_force_c
+        return d.con_force_c, d.con_torque_c
     E = force.shape[0]
     base = m.neq_jnt + m.nv + m.nlimit
     rows = force[:, base : base + R * K].reshape(E, K, R)
-    cpk = d.con_packed_c  # (E, K, 27)
-    mu = cpk[..., 5:10]
-    frame = cpk[..., 17:26].reshape(E, K, 3, 3)
-    dim_k = cpk[..., 26]
-    mu1 = jnp.where(dim_k == 1, 0.0, mu[..., 0])
-    mu2 = jnp.where(dim_k == 1, 0.0, mu[..., 1])
-    fn = jnp.sum(rows, axis=-1)
-    ft1 = mu1 * (rows[..., 0] - rows[..., 1])
-    ft2 = mu2 * (rows[..., 2] - rows[..., 3])
-    fc = jnp.stack([fn, ft1, ft2], axis=-1)  # (E, K, 3)
-    fw = jnp.einsum("ekf,ekfx->ekx", fc, frame)
-    return jnp.where(d.con_sel_active[..., None], fw, 0.0)
+    return _contact_force_torque(m, rows, d.con_packed_c, d.con_sel_active)
 
 
 def _assemble_dense_J(m: Model, d: Data):
@@ -524,13 +723,14 @@ def _solve_batched_pallas(m: Model, d: Data) -> Data:
         tolerance=float(m.opt.tolerance),
     )
     qfrc_constraint = jnp.einsum("eri,er->ei", efc_J, force)
-    con_force_c = _decode_contact_forces_batched(m, d, force)
+    con_force_c, con_torque_c = _decode_contact_forces_batched(m, d, force)
     return d.replace(
         qacc=x,
         efc_force=force,
         qfrc_constraint=qfrc_constraint,
         qacc_warmstart=x,
         con_force_c=con_force_c,
+        con_torque_c=con_torque_c,
     )
 
 
@@ -551,6 +751,7 @@ def _solve_vmap_rule(axis_size, in_batched, m, d):
         and axis_size % 128 == 0
         and d.qpos.dtype == jnp.float32
         and m.nefc > 0
+        and int(m.opt.cone) == 0  # pallas kernel implements pyramid only
         and all(jax.tree_util.tree_leaves(d_batched))
     )
     if use_pallas:

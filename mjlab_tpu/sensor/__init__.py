@@ -5,4 +5,4 @@ from mjlab_tpu.sensor.contact_sensor import (  # noqa: F401
     ContactSensor,
     ContactSensorCfg,
 )
-from mjlab_tpu.sensor.builtin_sensor import BuiltinSensor, BuiltinSensorCfg  # noqa: F401
+from mjlab_tpu.sensor.builtin_sensor import BuiltinSensor, BuiltinSensorCfg, ObjRef  # noqa: F401

@@ -7,6 +7,16 @@ sensor kernels with data-bit encoding and slot matching, each primary match
 object resolves at startup to a static list of contact slots in the pair
 table; runtime reduction is a masked segment reduce inside the jitted step.
 
+Field/reduce surface matches the reference:
+  fields: found, force, torque, dist, pos, normal, tangent
+  reduce: none | mindist | maxforce | netforce  (top ``num_slots`` rows)
+  secondary_policy: first | any | error
+  global_frame: force/torque rotated to world (netforce is always world)
+Output layout matches the reference: per-field arrays with a
+primary-major row axis of size M * num_slots ((E, M*num_slots) scalars,
+(E, M*num_slots, 3) vectors); with the default num_slots=1 this is the
+familiar per-primary row layout.
+
 One sensor ROW per matched primary object: mode="geom" -> each matched geom;
 mode="body" -> each matched body (all its geoms); mode="subtree" -> each
 matched body's whole subtree. ``secondary`` filters the other geom of the
@@ -44,8 +54,26 @@ class ContactSensorCfg(SensorCfg):
     fields: tuple[str, ...] = ("found",)
     reduce: Literal["none", "netforce", "maxforce", "mindist"] = "netforce"
     num_slots: int = 1
+    secondary_policy: Literal["first", "any", "error"] = "first"
     track_air_time: bool = False
-    global_frame: bool = True
+    global_frame: bool = False
+
+    def __post_init__(self):
+        bad = set(self.fields) - {
+            "found", "force", "torque", "dist", "pos", "normal", "tangent"
+        }
+        if bad:
+            raise ValueError(f"unknown contact sensor fields: {sorted(bad)}")
+        if (
+            self.global_frame
+            and self.reduce != "netforce"
+            and {"force", "torque"} & set(self.fields)
+            and not {"normal", "tangent"} <= set(self.fields)
+        ):
+            raise ValueError(
+                f"Sensor '{self.name}': global_frame=True requires 'normal' "
+                "and 'tangent' in fields"
+            )
 
     def build(self, scene):
         return ContactSensor(self, scene)
@@ -61,10 +89,16 @@ class ContactSensorState:
 
 @pytree
 class ContactData:
-    found: jax.Array  # (E, M) bool
-    force: jax.Array  # (E, M, 3) net contact force on the primary (world)
-    dist: jax.Array  # (E, M) min distance (+inf when no contact)
-    normal: jax.Array  # (E, M, 3) normal of the deepest slot
+    """Only the requested fields are populated (others None). Row axis is
+    primary-major M * num_slots; air-time fields are per-primary (E, M)."""
+
+    found: jax.Array | None = None  # (E, MR) match count before reduction
+    force: jax.Array | None = None  # (E, MR, 3)
+    torque: jax.Array | None = None  # (E, MR, 3)
+    dist: jax.Array | None = None  # (E, MR)
+    pos: jax.Array | None = None  # (E, MR, 3) world
+    normal: jax.Array | None = None  # (E, MR, 3) world, primary->secondary
+    tangent: jax.Array | None = None  # (E, MR, 3) world
     current_air_time: jax.Array | None = None
     current_contact_time: jax.Array | None = None
     last_air_time: jax.Array | None = None
@@ -100,6 +134,14 @@ def _resolve_objects(mj_model, match: ContactMatch) -> list[tuple[str, set]]:
         for b in range(mj_model.nbody)
     ]
 
+    patterns = (
+        match.pattern if isinstance(match.pattern, (tuple, list))
+        else (match.pattern,)
+    )
+
+    def matches(ln):
+        return any(re.fullmatch(p, ln) for p in patterns)
+
     def excluded(ln):
         return any(re.fullmatch(e, ln) for e in match.exclude)
 
@@ -107,14 +149,14 @@ def _resolve_objects(mj_model, match: ContactMatch) -> list[tuple[str, set]]:
     if match.mode == "geom":
         for g, n in enumerate(geom_names):
             ln = local(n)
-            if ln is not None and re.fullmatch(match.pattern, ln) and not excluded(ln):
+            if ln is not None and matches(ln) and not excluded(ln):
                 objs.append((ln, {g}))
         return objs
 
     matched_bodies = []
     for b, n in enumerate(body_names):
         ln = local(n)
-        if ln is not None and re.fullmatch(match.pattern, ln) and not excluded(ln):
+        if ln is not None and matches(ln) and not excluded(ln):
             matched_bodies.append((ln, b))
     for ln, b in matched_bodies:
         bodies = _subtree_bodies(mj_model, b) if match.mode == "subtree" else [b]
@@ -153,9 +195,19 @@ class ContactSensor(Sensor):
         pt = ctx.model.pairs
         primaries = _resolve_objects(mj_model, self.cfg.primary)
         if self.cfg.secondary is not None:
-            sec: set | None = set()
-            for _, gs in _resolve_objects(mj_model, self.cfg.secondary):
-                sec |= gs
+            objs = _resolve_objects(mj_model, self.cfg.secondary)
+            if not objs:
+                sec: set | None = set()
+            elif self.cfg.secondary_policy == "any":
+                sec = set().union(*[gs for _, gs in objs])
+            elif self.cfg.secondary_policy == "error" and len(objs) > 1:
+                raise ValueError(
+                    f"Sensor '{self.name}': secondary pattern matched "
+                    f"{len(objs)} objects ({[n for n, _ in objs]}) with "
+                    "secondary_policy='error'"
+                )
+            else:  # "first" (or single match)
+                sec = objs[0][1]
         else:
             sec = None
 
@@ -198,6 +250,22 @@ class ContactSensor(Sensor):
         self.slot_mask = slot_mask
         self.slot_sign = sign
 
+        # inverse map slot id -> flat (m, s) position, for the cheap
+        # scatter expansion of compacted solver outputs; falls back to a
+        # one-hot matmul when a slot feeds multiple sensor rows.
+        ncon = pt.ncon
+        slot2flat = np.full(ncon, -1, np.int64) if ncon else np.zeros(0, np.int64)
+        self._overlapping = False
+        for mm in range(M):
+            for s in range(max_slots):
+                if not slot_mask[mm, s]:
+                    continue
+                sid = slot_table[mm, s]
+                if slot2flat[sid] != -1:
+                    self._overlapping = True
+                slot2flat[sid] = mm * max_slots + s
+        self._slot2flat = slot2flat
+
         if self.cfg.track_air_time:
             z = jnp.zeros((num_envs, M), jnp.float32)
             ctx.sensor_states[self.name] = ContactSensorState(
@@ -214,61 +282,232 @@ class ContactSensor(Sensor):
 
     # -- runtime --
 
+    def _expand_compacted(self, d, values):
+        """Map compacted per-slot values (E, K, C) onto this sensor's
+        static slot table -> (E, M, S, C)."""
+        M, S = self.slot_table.shape
+        E, K = d.con_sel.shape
+        C = values.shape[-1]
+        vals = jnp.where(d.con_sel_active[..., None], values, 0.0)
+        if not self._overlapping:
+            flat = jnp.asarray(self._slot2flat)[d.con_sel]  # (E, K)
+            valid = (flat >= 0) & d.con_sel_active
+            tgt = jnp.where(valid, flat, M * S)  # overflow dump row
+            buf = jnp.zeros((E, M * S + 1, C), values.dtype)
+            buf = buf.at[jnp.arange(E)[:, None], tgt].add(vals)
+            return buf[:, : M * S].reshape(E, M, S, C)
+        onehot = (
+            d.con_sel[:, None, None, :]
+            == jnp.asarray(self.slot_table)[None, :, :, None]
+        ).astype(values.dtype)  # (E, M, S, K)
+        out = jnp.einsum("emsk,ekc->emsc", onehot, vals)
+        return out * jnp.asarray(self.slot_mask, values.dtype)[None, :, :, None]
+
     def _compute(self, ctx) -> ContactData:
+        cfg = self.cfg
         d = ctx.data
         st = self.slot_table  # (M, S)
+        M, S = st.shape
+        NR = cfg.num_slots
         active = (d.contact.dist < d.contact.includemargin)[:, st] & self.slot_mask
         dist = jnp.where(active, d.contact.dist[:, st], jnp.inf)
-        found = jnp.any(active, axis=-1)
-
-        M, S = st.shape
-        # world forces are stored COMPACTED by the solver (d.con_force_c
-        # per selected slot, force on geom2); expand onto this sensor's
-        # static slot table with a one-hot sum over the K compacted slots
-        # (K is small — cheaper than scattering to the full slot table),
-        # flipping sign so force is ON the primary object
+        E = active.shape[0]
+        fields = set(cfg.fields)
         sgn = jnp.asarray(self.slot_sign)  # (M, S)
-        sel = d.con_sel  # (E, K)
-        onehot = (
-            sel[:, None, None, :] == jnp.asarray(st)[None, :, :, None]
-        ).astype(d.con_force_c.dtype)  # (E, M, S, K)
-        force_w = (
-            jnp.einsum("emsk,ekx->emsx", onehot, d.con_force_c)
-            * sgn[None, :, :, None]
-        )
-        net_force = jnp.sum(force_w, axis=2)
 
-        deepest = jnp.argmin(dist, axis=-1)
-        slot_of = jnp.asarray(st)[jnp.arange(M)[None], deepest]
-        normal = jnp.take_along_axis(
-            d.contact.frame[:, :, 0, :], slot_of[..., None], axis=1
-        )
+        need_force = bool(
+            {"force", "torque"} & fields
+        ) or cfg.reduce == "maxforce"
+        force_w = torque_w = None
+        if need_force:
+            # world force/torque ON the primary object per static slot
+            force_w = (
+                self._expand_compacted(d, d.con_force_c)
+                * sgn[None, :, :, None]
+            )  # (E, M, S, 3)
+            if "torque" in fields:
+                torque_w = (
+                    self._expand_compacted(d, d.con_torque_c)
+                    * sgn[None, :, :, None]
+                )
 
-        data = ContactData(
-            found=found,
-            force=net_force,
-            dist=jnp.min(dist, axis=-1),
-            normal=normal,
-        )
-        if self.cfg.track_air_time and self.name in ctx.sensor_states:
+        found_count = jnp.sum(active, axis=-1)  # (E, M)
+
+        out = ContactData()
+        if cfg.reduce == "netforce":
+            # single net row per primary, world frame. Sign matches the
+            # native mjSENS_CONTACT convention: the force applied BY the
+            # primary on the secondary (measured: resting box on a plane
+            # reports -mg in z with primary=box).
+            if "found" in fields:
+                out = out.replace(found=self._tile(found_count, NR))
+            if "force" in fields:
+                out = out.replace(
+                    force=self._tile_vec(-jnp.sum(force_w, axis=2), NR)
+                )
+            if "torque" in fields:
+                out = out.replace(
+                    torque=self._tile_vec(-jnp.sum(torque_w, axis=2), NR)
+                )
+            # netforce zeroes the non-aggregatable fields (measured
+            # native-sensor behavior: dist slot reads exactly 0.0)
+            if "dist" in fields:
+                out = out.replace(
+                    dist=jnp.zeros((E, M * NR), dist.dtype)
+                )
+            if "pos" in fields:
+                out = out.replace(pos=jnp.zeros((E, M * NR, 3), dist.dtype))
+            if "normal" in fields:
+                out = out.replace(normal=jnp.zeros((E, M * NR, 3), dist.dtype))
+            if "tangent" in fields:
+                out = out.replace(tangent=jnp.zeros((E, M * NR, 3), dist.dtype))
+        else:
+            if cfg.reduce == "mindist":
+                key = dist
+            elif cfg.reduce == "maxforce":
+                fmag = jnp.linalg.norm(force_w, axis=-1)
+                key = jnp.where(active, -fmag, jnp.inf)
+            else:  # "none": static order among active
+                key = jnp.where(
+                    active, jnp.arange(S, dtype=jnp.float32)[None, None], jnp.inf
+                )
+            order = jnp.argsort(key, axis=-1)[..., :NR]  # (E, M, NR)
+            picked = jnp.take_along_axis(active, order, axis=-1)  # (E,M,NR)
+            if "found" in fields:
+                out = out.replace(
+                    found=jnp.where(
+                        picked, found_count[..., None], 0
+                    ).reshape(E, M * NR)
+                )
+            if "dist" in fields:
+                out = out.replace(
+                    dist=jnp.where(
+                        picked,
+                        jnp.take_along_axis(dist, order, axis=-1),
+                        0.0,
+                    ).reshape(E, M * NR)
+                )
+            if {"force", "torque"} & fields:
+                frame = d.contact.frame[:, st]  # (E, M, S, 3, 3)
+                frame_p = jnp.take_along_axis(
+                    frame, order[..., None, None], axis=2
+                )  # (E, M, NR, 3, 3)
+                # when the primary is the contact's geom2, MuJoCo flips
+                # normal and first tangent (s = -1) so the output frame is
+                # (s n, s t1, t2); sgn=+1 means primary is geom2 -> s=-sgn
+                sflip = -jnp.take_along_axis(
+                    jnp.broadcast_to(sgn[None], active.shape), order, axis=-1
+                )  # (E, M, NR)
+                for fname, w in (("force", force_w), ("torque", torque_w)):
+                    if fname not in fields:
+                        continue
+                    w_p = jnp.take_along_axis(w, order[..., None], axis=2)
+                    w_by = -w_p  # world, applied BY the primary
+                    if cfg.global_frame:
+                        w_out = w_by
+                    else:
+                        # components in the output frame (s n, s t1, t2)
+                        comps = jnp.einsum("emrfx,emrx->emrf", frame_p, w_by)
+                        w_out = jnp.stack(
+                            [
+                                sflip * comps[..., 0],
+                                sflip * comps[..., 1],
+                                comps[..., 2],
+                            ],
+                            axis=-1,
+                        )
+                    w_out = jnp.where(picked[..., None], w_out, 0.0)
+                    out = out.replace(**{fname: w_out.reshape(E, M * NR, 3)})
+            if {"pos", "normal", "tangent"} & fields:
+                out = self._geom_fields(
+                    out, d, fields, order, active, sgn, NR=NR
+                )
+
+        if cfg.track_air_time and self.name in ctx.sensor_states:
             s = ctx.sensor_states[self.name]
-            data = data.replace(
+            out = out.replace(
                 current_air_time=s.current_air_time,
                 current_contact_time=s.current_contact_time,
                 last_air_time=s.last_air_time,
                 last_contact_time=s.last_contact_time,
             )
-        return data
+        return out
+
+    def _tile(self, x, NR):
+        """(E, M) -> (E, M*NR) with the value in slot 0, zeros after
+        (netforce produces one aggregate row per primary)."""
+        E, M = x.shape
+        if NR == 1:
+            return x
+        out = jnp.zeros((E, M, NR), x.dtype).at[:, :, 0].set(x)
+        return out.reshape(E, M * NR)
+
+    def _tile_vec(self, x, NR):
+        E, M, C = x.shape
+        if NR == 1:
+            return x
+        out = jnp.zeros((E, M, NR, C), x.dtype).at[:, :, 0].set(x)
+        return out.reshape(E, M * NR, C)
+
+    def _geom_fields(self, out, d, fields, order, active, sgn, NR):
+        """pos/normal/tangent for the chosen slots. order: (E, M, R)."""
+        st = self.slot_table
+        E = active.shape[0]
+        M, S = st.shape
+        R = order.shape[-1]
+        picked = jnp.take_along_axis(active, order, axis=-1)  # (E, M, R)
+        slot_of = jnp.take_along_axis(
+            jnp.broadcast_to(jnp.asarray(st)[None], (E, M, S)), order, axis=-1
+        )  # (E, M, R)
+        sgn_of = jnp.take_along_axis(
+            jnp.broadcast_to(sgn[None], (E, M, S)), order, axis=-1
+        )
+
+        def shape_out(x):
+            if NR is None:  # netforce path: single row per primary
+                x = x[:, :, 0]
+                return self._tile_vec(x, self.cfg.num_slots)
+            return x.reshape(E, M * R, x.shape[-1])
+
+        if "pos" in fields:
+            pos = d.contact.pos[
+                jnp.arange(E)[:, None, None], slot_of
+            ]  # (E, M, R, 3)
+            pos = jnp.where(picked[..., None], pos, 0.0)
+            out = out.replace(pos=shape_out(pos))
+        if {"normal", "tangent"} & fields:
+            frame = d.contact.frame[
+                jnp.arange(E)[:, None, None], slot_of
+            ]  # (E, M, R, 3, 3)
+            if "normal" in fields:
+                # engine normal points geom1 -> geom2; flip so it points
+                # primary -> secondary (sgn=+1 means primary is geom2)
+                nrm = frame[..., 0, :] * (-sgn_of[..., None])
+                nrm = jnp.where(picked[..., None], nrm, 0.0)
+                out = out.replace(normal=shape_out(nrm))
+            if "tangent" in fields:
+                # MuJoCo flips the first tangent together with the normal
+                # to keep the output frame right-handed
+                tng = frame[..., 1, :] * (-sgn_of[..., None])
+                tng = jnp.where(picked[..., None], tng, 0.0)
+                out = out.replace(tangent=shape_out(tng))
+        return out
 
     @property
     def data(self) -> ContactData:
         return self._compute(self.ctx)
 
+    def _found_per_primary(self, ctx):
+        d = ctx.data
+        st = self.slot_table
+        active = (d.contact.dist < d.contact.includemargin)[:, st] & self.slot_mask
+        return jnp.any(active, axis=-1)  # (E, M)
+
     def update(self, ctx, dt: float) -> None:
         if not self.cfg.track_air_time:
             return
         s = ctx.sensor_states[self.name]
-        found = self._compute(ctx).found
+        found = self._found_per_primary(ctx)
         became_contact = found & (s.current_air_time > 0)
         became_air = ~found & (s.current_contact_time > 0)
         last_air = jnp.where(became_contact, s.current_air_time + dt, s.last_air_time)
@@ -286,12 +525,12 @@ class ContactSensor(Sensor):
 
     def compute_first_contact(self, dt: float) -> jax.Array:
         s = self.ctx.sensor_states[self.name]
-        found = self._compute(self.ctx).found
+        found = self._found_per_primary(self.ctx)
         return found & (s.current_contact_time <= dt)
 
     def compute_first_air(self, dt: float) -> jax.Array:
         s = self.ctx.sensor_states[self.name]
-        found = self._compute(self.ctx).found
+        found = self._found_per_primary(self.ctx)
         return (~found) & (s.current_air_time <= dt)
 
     def reset(self, ctx, mask) -> None:

@@ -74,9 +74,12 @@ class MujocoCfg:
 class SimulationCfg:
     """Simulation configuration (reference sim/sim.py:82-98).
 
-    nconmax/njmax are accepted for config-surface parity but unused: the
-    TPU build derives static contact/constraint capacity from the model's
-    pair table instead of heuristic per-world allocation.
+    nconmax bounds the compacted contact-slot count K (the top-K capacity
+    the solver allocates per env — drives Hessian size and compaction
+    cost; lower it for flat-terrain tasks). njmax is accepted for
+    config-surface parity but unused: constraint rows are statically laid
+    out from the model's pair table instead of heuristic per-world
+    allocation.
     """
 
     nconmax: int | None = None
@@ -85,6 +88,7 @@ class SimulationCfg:
     contact_sensor_maxmatch: int = 64
     mujoco: MujocoCfg = field(default_factory=MujocoCfg)
     dtype: str = "float32"
+    nan_guard: "NanGuardCfg | None" = None  # rolling-history NaN dump
 
 
 def model_in_axes(m: Model, batched_fields: frozenset[str]):
@@ -100,7 +104,9 @@ def model_in_axes(m: Model, batched_fields: frozenset[str]):
         val = getattr(m, f.name)
         if isinstance(val, jax.Array) or isinstance(val, _jnp.ndarray):
             updates[f.name] = 0 if f.name in batched_fields else None
-    opt_axes = m.opt.replace(timestep=None, gravity=None, impratio=None)
+    opt_axes = m.opt.replace(
+        timestep=None, gravity=None, magnetic=None, impratio=None
+    )
     return m.replace(**updates, opt=opt_axes)
 
 

@@ -48,7 +48,7 @@ def setup():
                 primary=ContactMatch(
                     mode="geom", pattern="ball_geom", entity="ball"
                 ),
-                fields=("found", "force"),
+                fields=("found", "force", "dist"),
                 track_air_time=True,
             )
         },
@@ -79,9 +79,10 @@ def test_airborne_then_contact(setup):
     data = sensor._compute(ctx)
     found = np.asarray(data.found)
     assert found.all(), "ball should rest on the plane"
-    # net contact force on the ball ~ +mg in z
+    # netforce is the force applied BY the primary (native mjSENS_CONTACT
+    # sign): resting ball presses -mg into the plane
     fz = np.asarray(data.force)[..., 2]
-    np.testing.assert_allclose(fz, 9.81, rtol=0.2)
+    np.testing.assert_allclose(fz, -9.81, rtol=0.2)
     # contact time accumulated, air time frozen at the fall duration
     st = ctx.sensor_states["ball_contact"]
     assert (np.asarray(st.current_contact_time) > 0).all()
