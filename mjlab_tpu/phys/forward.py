@@ -70,7 +70,12 @@ def forward(m: Model, d: Data) -> Data:
 
 
 def _actuator_vel_deriv(m: Model, d: Data) -> jax.Array:
-    """d(actuator force)/d(actuator velocity) per actuator."""
+    """d(actuator force)/d(actuator velocity) per actuator.
+
+    Force-saturated actuators contribute ZERO derivative (the clamp is
+    flat), matching mjd_smooth_vel — without this the implicitfast update
+    diverges from MuJoCo whenever random/aggressive ctrl saturates
+    forcerange (measured 2 rad/s qvel error in one G1 step)."""
     dfdv = jnp.zeros(m.nu, d.qpos.dtype)
     if m.nu == 0:
         return dfdv
@@ -78,7 +83,12 @@ def _actuator_vel_deriv(m: Model, d: Data) -> jax.Array:
     dfdv = jnp.where(affine_bias, m.actuator_biasprm[:, 2], dfdv)
     affine_gain = jnp.asarray(m.actuator_gaintype == 1)
     dfdv = dfdv + jnp.where(affine_gain, m.actuator_gainprm[:, 2] * d.ctrl, 0.0)
-    return dfdv
+    limited = jnp.asarray(m.actuator_forcelimited.astype(bool))
+    saturated = limited & (
+        (d.actuator_force <= m.actuator_forcerange[:, 0])
+        | (d.actuator_force >= m.actuator_forcerange[:, 1])
+    )
+    return jnp.where(saturated, 0.0, dfdv)
 
 
 def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
