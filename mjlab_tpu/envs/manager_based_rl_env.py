@@ -187,6 +187,19 @@ class ManagerBasedRlEnv:
         self._init_rng, k = jax.random.split(self._init_rng)
         self.scene.initialize(self.mj_model, self.ctx, k)
 
+        # NaN guard (reference sim/sim.py:269 + utils/nan_guard.py): ring
+        # buffer of physics state recorded inside the jitted step; host
+        # dump via debug.callback on first detection.
+        self.nan_guard = None
+        if cfg.sim.nan_guard is not None and cfg.sim.nan_guard.enabled:
+            from mjlab_tpu.utils.nan_guard import NanGuard
+
+            self.nan_guard = NanGuard(cfg.sim.nan_guard, self.mj_model)
+            m = self.sim.model
+            self.ctx.sensor_states["_nan_guard"] = self.nan_guard.make_state(
+                self.num_envs, m.nq, m.nv, m.nu
+            )
+
         # 3. initial forward so dry-runs see valid kinematics
         self.ctx.data = jax.jit(self.sim.forward_fn())(self.sim.model, self.ctx.data)
 
@@ -418,6 +431,13 @@ class ManagerBasedRlEnv:
         ctx.data, ctx.entity_states, ctx.sensor_states, ctx.rng = carry
         ctx.entity_states = dict(ctx.entity_states)
         ctx.sensor_states = dict(ctx.sensor_states)
+
+        if self.nan_guard is not None:
+            gstate = self.nan_guard.record(
+                ctx.sensor_states["_nan_guard"], ctx.data
+            )
+            self.nan_guard.check_and_dump(gstate, ctx.data)
+            ctx.sensor_states["_nan_guard"] = gstate
 
         ctx.episode_length = ctx.episode_length + 1
         ctx.common_step = ctx.common_step + 1

@@ -163,6 +163,12 @@ class ActorCritic:
         return jnp.sum(0.5 * jnp.log(2 * jnp.pi * jnp.e) + jnp.log(std))
 
 
+def _critic_obs(obs):
+    """Privileged critic group when present, else the policy group
+    (rsl-rl obs_groups fallback semantics, reference rl/config.py:76-78)."""
+    return obs["critic"] if "critic" in obs else obs["policy"]
+
+
 class PPO:
     """PPO over a traced env step function.
 
@@ -229,9 +235,9 @@ class PPO:
             ppo, env_state, obs = c
             rng, k = jax.random.split(ppo.rng)
             actor_norm = norm_update(ppo.actor_norm, obs["policy"])
-            critic_norm = norm_update(ppo.critic_norm, obs["critic"])
+            critic_norm = norm_update(ppo.critic_norm, _critic_obs(obs))
             aobs = norm_apply(actor_norm, obs["policy"])
-            cobs = norm_apply(critic_norm, obs["critic"])
+            cobs = norm_apply(critic_norm, _critic_obs(obs))
             mean = self.ac.act_mean(ppo.params, aobs)
             std = self.ac.std(ppo.params)
             action = mean + std * jax.random.normal(k, mean.shape)
@@ -267,7 +273,7 @@ class PPO:
         )
 
         # GAE
-        last_cobs = norm_apply(ppo.critic_norm, obs["critic"])
+        last_cobs = norm_apply(ppo.critic_norm, _critic_obs(obs))
         last_value = self.ac.value(ppo.params, last_cobs)
 
         def gae_step(carry, t):

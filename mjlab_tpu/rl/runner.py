@@ -139,11 +139,16 @@ class OnPolicyRunner:
         return policy
 
     def save(self, path: str):
+        if jax.process_index() != 0:
+            return
         os.makedirs(os.path.dirname(path), exist_ok=True)
         payload = {
             "params": jax.device_get(self.ppo_state.params),
+            "opt_state": jax.device_get(self.ppo_state.opt_state),
             "actor_norm": jax.device_get(self.ppo_state.actor_norm),
             "critic_norm": jax.device_get(self.ppo_state.critic_norm),
+            "lr": jax.device_get(self.ppo_state.lr),
+            "rng": jax.device_get(self.ppo_state.rng),
             "iteration": self.iteration,
             "cfg": self.cfg,
         }
@@ -151,12 +156,22 @@ class OnPolicyRunner:
             pickle.dump(payload, f)
 
     def load(self, path: str, load_optimizer: bool = True):
+        """Restore params + normalizers; with load_optimizer also the Adam
+        moments, adaptive-KL LR and RNG so resume continues the exact
+        training dynamics (rsl-rl resume semantics)."""
         with open(path, "rb") as f:
             payload = pickle.load(f)
-        self.ppo_state = self.ppo_state.replace(
+        updates = dict(
             params=payload["params"],
             actor_norm=payload["actor_norm"],
             critic_norm=payload["critic_norm"],
         )
+        if load_optimizer and "opt_state" in payload:
+            updates["opt_state"] = payload["opt_state"]
+            if "lr" in payload:
+                updates["lr"] = jnp.asarray(payload["lr"])
+            if "rng" in payload:
+                updates["rng"] = jnp.asarray(payload["rng"])
+        self.ppo_state = self.ppo_state.replace(**updates)
         self.iteration = payload.get("iteration", 0)
         return payload

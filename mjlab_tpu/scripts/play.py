@@ -18,7 +18,12 @@ def run_play(
     num_envs: int = 1,
     num_steps: int = 200,
     viewer: str = "headless",
+    wandb_run_path: str | None = None,
 ):
+    from mjlab_tpu.utils.device import apply_platform_env
+
+    apply_platform_env()
+
     import mjlab_tpu.tasks as tasks
     from mjlab_tpu.envs import ManagerBasedRlEnv
     from mjlab_tpu.rl import OnPolicyRunner, RslRlVecEnvWrapper
@@ -32,8 +37,24 @@ def run_play(
     if agent == "trained":
         agent_cfg = tasks.load_rl_cfg(task)
         runner = OnPolicyRunner(wrapped, agent_cfg)
-        assert checkpoint_file, "--checkpoint-file required for trained agent"
-        runner.load(checkpoint_file)
+        if checkpoint_file is None and wandb_run_path is not None:
+            from mjlab_tpu.utils.os import get_wandb_checkpoint_path
+
+            checkpoint_file = get_wandb_checkpoint_path(wandb_run_path)
+        if checkpoint_file is None:
+            # latest local run/checkpoint by the agent cfg regexes
+            # (reference play.py:51-133, utils/os.py:52-90)
+            import os as _os
+
+            from mjlab_tpu.utils.os import get_checkpoint_path
+
+            checkpoint_file = get_checkpoint_path(
+                _os.path.join("logs", agent_cfg.experiment_name),
+                agent_cfg.load_run,
+                agent_cfg.load_checkpoint,
+            )
+            print(f"[play] using latest checkpoint {checkpoint_file}")
+        runner.load(checkpoint_file, load_optimizer=False)
         policy = runner.get_inference_policy()
     elif agent == "random":
         rng = [jax.random.PRNGKey(0)]
@@ -92,8 +113,15 @@ def main():
         choices=["headless", "native", "viser", "auto"],
         default="headless",
     )
+    p.add_argument(
+        "--wandb-run-path", default=None,
+        help="resolve the checkpoint from a W&B run (entity/project/run_id)",
+    )
     a = p.parse_args()
-    run_play(a.task, a.agent, a.checkpoint_file, a.num_envs, a.num_steps, a.viewer)
+    run_play(
+        a.task, a.agent, a.checkpoint_file, a.num_envs, a.num_steps, a.viewer,
+        wandb_run_path=a.wandb_run_path,
+    )
 
 
 if __name__ == "__main__":

@@ -57,11 +57,18 @@ def run_train(
     env_overrides: list[str] | None = None,
     agent_overrides: list[str] | None = None,
     distributed: bool = False,
+    resume: bool = False,
+    checkpoint: str | None = None,
+    enable_nan_guard: bool = False,
 ):
     if distributed:
         import jax
 
         jax.distributed.initialize()
+
+    from mjlab_tpu.utils.device import apply_platform_env
+
+    apply_platform_env()
 
     import mjlab_tpu.tasks as tasks
     from mjlab_tpu.envs import ManagerBasedRlEnv
@@ -78,8 +85,14 @@ def run_train(
         agent_cfg.seed = seed
     if max_iterations:
         agent_cfg.max_iterations = max_iterations
+    if enable_nan_guard:
+        from mjlab_tpu.utils.nan_guard import NanGuardCfg
+
+        env_cfg.sim.nan_guard = NanGuardCfg(enabled=True)
     _apply_overrides(env_cfg, env_overrides or [])
     _apply_overrides(agent_cfg, agent_overrides or [])
+    if resume:
+        agent_cfg.resume = True
 
     if log_dir is None:
         stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
@@ -98,6 +111,21 @@ def run_train(
     env = ManagerBasedRlEnv(env_cfg)
     wrapped = RslRlVecEnvWrapper(env, clip_actions=agent_cfg.clip_actions)
     runner = runner_cls(wrapped, agent_cfg, log_dir=log_dir)
+
+    # resume: explicit checkpoint, else latest run/checkpoint by the cfg
+    # regexes (reference scripts/train.py:111-128, utils/os.py:52-90)
+    if agent_cfg.resume or checkpoint:
+        from mjlab_tpu.utils.os import get_checkpoint_path
+
+        ckpt = checkpoint
+        if ckpt is None:
+            log_root = os.path.join("logs", agent_cfg.experiment_name)
+            ckpt = get_checkpoint_path(
+                log_root, agent_cfg.load_run, agent_cfg.load_checkpoint
+            )
+        print(f"[train] resuming from {ckpt}")
+        runner.load(ckpt)
+
     runner.learn(agent_cfg.max_iterations)
     return runner
 
@@ -110,6 +138,17 @@ def main():
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--log-dir", default=None)
     parser.add_argument("--distributed", action="store_true")
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from the latest run/checkpoint (agent cfg regexes)",
+    )
+    parser.add_argument(
+        "--checkpoint", default=None, help="explicit checkpoint to load"
+    )
+    parser.add_argument(
+        "--enable-nan-guard", action="store_true",
+        help="record physics state history and dump on first NaN",
+    )
     parser.add_argument(
         "--env", action="append", default=[], help="env cfg override key=value"
     )
@@ -145,6 +184,9 @@ def main():
         env_overrides=args.env,
         agent_overrides=args.agent,
         distributed=args.distributed,
+        resume=args.resume,
+        checkpoint=args.checkpoint,
+        enable_nan_guard=args.enable_nan_guard,
     )
 
 

@@ -44,3 +44,21 @@ def select_devices(
         )
     picked = [visible[i] for i in device_ids]
     return picked, len(picked)
+
+
+def apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS even when jax was already imported.
+
+    Some environments pre-import jax (sitecustomize), so the env var set
+    by the user's shell never reaches backend selection. Calling this
+    before the first jax operation re-applies it through jax.config. Call
+    at the top of CLI entry points."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass

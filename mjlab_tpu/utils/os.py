@@ -84,3 +84,31 @@ def get_checkpoint_path(
 
     ckpts.sort(key=key)
     return os.path.join(run, ckpts[-1])
+
+
+def get_wandb_checkpoint_path(
+    run_path: str, log_path: str = "logs", checkpoint_substr: str = "model"
+) -> str:
+    """Download-and-cache the latest checkpoint of a W&B run
+    (reference utils/os.py:92-118). run_path: "entity/project/run_id"."""
+    import wandb
+
+    run_id = str(run_path).split("/")[-1]
+    download_dir = os.path.join(log_path, "wandb_checkpoints", run_id)
+
+    api = wandb.Api()
+    wandb_run = api.run(str(run_path))
+    files = [f.name for f in wandb_run.files() if checkpoint_substr in f.name]
+    if not files:
+        raise FileNotFoundError(f"no checkpoint files in W&B run {run_path}")
+
+    def key(name):
+        m = re.search(r"(\d+)", name)
+        return int(m.group(1)) if m else -1
+
+    checkpoint_file = max(files, key=key)
+    checkpoint_path = os.path.join(download_dir, checkpoint_file)
+    if not os.path.exists(checkpoint_path):
+        os.makedirs(download_dir, exist_ok=True)
+        wandb_run.file(checkpoint_file).download(download_dir, replace=True)
+    return checkpoint_path

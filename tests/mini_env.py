@@ -25,6 +25,7 @@ def pend_spec():
     return mujoco.MjSpec.from_string(
         """
 <mujoco>
+  <compiler angle="radian"/>
   <option timestep="0.01"/>
   <worldbody>
     <body name="arm" pos="0 0 1">
@@ -38,7 +39,8 @@ def pend_spec():
 
 
 def make_pendulum_env(history_length=0, delay=0, action_scale=1.0,
-                      action_offset=0.0, num_envs=E):
+                      action_offset=0.0, num_envs=E,
+                      soft_joint_pos_limit_factor=1.0):
     cfg = ManagerBasedRlEnvCfg(
         decimation=1,
         episode_length_s=1000.0,
@@ -55,7 +57,8 @@ def make_pendulum_env(history_length=0, delay=0, action_scale=1.0,
                                 damping=5.0,
                                 effort_limit=100.0,
                             ),
-                        )
+                        ),
+                        soft_joint_pos_limit_factor=soft_joint_pos_limit_factor,
                     ),
                 )
             },

@@ -61,15 +61,16 @@ def test_time_out_termination(env):
 
 
 @pytest.mark.slow
-def test_joint_pos_limits_penalty(env):
-    # drive the joint toward its limit: penalty grows past the soft limit
-    step = jax.jit(env._traced_step)
-    state = env._state
+def test_joint_pos_limits_penalty():
+    # soft limit at 0.9 * (+-3 rad) = +-2.7; drive the joint past it
+    env2 = make_pendulum_env(soft_joint_pos_limit_factor=0.9)
+    step = jax.jit(env2._traced_step)
+    state = env2._state
     for _ in range(120):
         state, *_ = step(state, jnp.full((E, 1), 3.0, jnp.float32))
-    env.ctx.load(state)
-    q = np.asarray(env.ctx.data.qpos)[:, 0]
-    pen = np.asarray(mdp.joint_pos_limits(env))
-    if (q > 2.7).any():  # soft limit region of the +-3 rad range
-        assert (pen[q > 2.7] > 0).all()
+    env2.ctx.load(state)
+    q = np.asarray(env2.ctx.data.qpos)[:, 0]
+    pen = np.asarray(mdp.joint_pos_limits(env2))
+    assert (q > 2.7).any(), f"joint never passed the soft limit: q={q}"
+    assert (pen[q > 2.7] > 0).all()
     assert (pen >= 0).all()
