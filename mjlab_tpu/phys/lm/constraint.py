@@ -1,0 +1,351 @@
+"""Lane-major constraint assembly. Mirrors phys/constraint.py semantics
+(row layout [eq][dof friction][limits][contacts], same solref/solimp
+formulas, same top-K contact compaction) with envs on the lane axis.
+
+Row-major outputs:
+    D, aref, fl          (nefc, E)
+    Jeq                  (neq, nv, E)
+    lim_side             (nlimit, E)
+    Jc                   (K*R, nv, E)
+plus compacted per-contact data for force decode / sensors.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjlab_tpu.phys.model import JNT_HINGE, JNT_SLIDE, Model
+from mjlab_tpu.phys.lm.base import Params
+from mjlab_tpu.phys.lm.collision import slot_params
+from mjlab_tpu.phys.smooth import ancestor_dof_mask
+
+_MINVAL = 1e-10
+
+
+def _impedance(si, pos):
+    """si: (..., 5, Eb); pos (..., E)."""
+    dmin, dmax, width = si[..., 0, :], si[..., 1, :], si[..., 2, :]
+    mid = jnp.clip(si[..., 3, :], 0.0001, 0.9999)
+    power = jnp.maximum(si[..., 4, :], 1.0)
+    x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, _MINVAL), 0.0, 1.0)
+    y_low = jnp.power(x, power) / jnp.power(mid, power - 1.0)
+    y_high = 1.0 - jnp.power(1.0 - x, power) / jnp.power(1.0 - mid, power - 1.0)
+    y = jnp.where(x <= mid, y_low, y_high)
+    return jnp.clip(dmin + y * (dmax - dmin), _MINVAL, 1.0 - _MINVAL)
+
+
+def _kb(sr, si):
+    dmax = si[..., 1, :]
+    timeconst, dampratio = sr[..., 0, :], sr[..., 1, :]
+    std = timeconst > 0
+    b = jnp.where(std, 2.0 / jnp.maximum(dmax * timeconst, _MINVAL), -dampratio)
+    k = jnp.where(
+        std,
+        1.0 / jnp.maximum(
+            dmax * dmax * timeconst * timeconst * dampratio * dampratio, _MINVAL
+        ),
+        -timeconst,
+    )
+    return k, b
+
+
+def _efc_kbid(sr, si, pos, diag_approx):
+    imp = _impedance(si, pos)
+    k, b = _kb(sr, si)
+    R = jnp.maximum((1.0 - imp) / imp * diag_approx, _MINVAL)
+    return imp, k, b, 1.0 / R
+
+
+def sel_rows(arr, sel, S):
+    """Select rows of env-last arr (S, ..., E) per env: sel (K, E) int32.
+
+    Implemented as a fused one-hot contraction over S (TPU gathers with
+    per-lane indices are slow; the one-hot never materializes — XLA fuses
+    the compare into the reduction loop)."""
+    K = sel.shape[0]
+    oh = (sel[:, None, :] == jnp.arange(S, dtype=sel.dtype)[None, :, None])
+    ohf = oh.astype(arr.dtype)
+    if arr.ndim == 2:  # (S, E)
+        return jnp.einsum("kse,se->ke", ohf, arr)
+    if arr.ndim == 3:  # (S, F, E)
+        if arr.shape[-1] == 1:
+            return jnp.einsum("kse,sf->kfe", ohf, arr[..., 0])
+        return jnp.einsum("kse,sfe->kfe", ohf, arr)
+    raise ValueError(arr.shape)
+
+
+def sel_static(table, sel):
+    """Select from a STATIC numpy table (S,) or (S, F) with sel (K, E)."""
+    t = jnp.asarray(table)
+    return t[sel] if t.ndim == 1 else t[sel]  # XLA constant-gather
+
+
+def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
+    nv = m.nv
+    neq = m.neq_jnt
+    nlimit = m.nlimit
+    E = P.E
+    zero = jnp.zeros((E,), dtype)
+
+    D_b, aref_b, fl_b = [], [], []
+
+    # ---- joint equality rows ----
+    Jeq = jnp.zeros((neq, nv, E), dtype)
+    if neq:
+        rows_D, rows_aref = [], []
+        Jeq_list = []
+        for e in range(neq):
+            q1adr = int(m.eq_j1_qadr[e])
+            j2 = int(m.eq_j2_qadr[e])
+            d1 = int(m.eq_j1_dofadr[e])
+            pc = [P.plane("eq_polycoef", e, i) for i in range(5)]
+            q10 = P.plane("eq_q0_1", e)
+            q1v = q[q1adr] - q10
+            if j2 >= 0:
+                d2 = int(m.eq_j2_dofadr[e])
+                q20 = P.plane("eq_q0_2", e)
+                q2v = q[j2] - q20
+                poly = pc[0] + q2v * (pc[1] + q2v * (pc[2] + q2v * (pc[3] + q2v * pc[4])))
+                dpoly = pc[1] + q2v * (2 * pc[2] + q2v * (3 * pc[3] + 4 * pc[4] * q2v))
+                pos_eq = q1v - poly
+                vel = qvel[d1] - dpoly * qvel[d2]
+                iw = P.plane("dof_invweight0", d1) + P.plane("dof_invweight0", d2)
+            else:
+                pos_eq = q1v - pc[0]
+                dpoly = None
+                vel = qvel[d1]
+                iw = P.plane("dof_invweight0", d1)
+            sr = jnp.stack([P.plane("eq_solref", e, i) for i in range(2)], -2)
+            si = jnp.stack([P.plane("eq_solimp", e, i) for i in range(5)], -2)
+            imp, kk, bb, De = _efc_kbid(sr, si, pos_eq, iw)
+            rows_D.append(jnp.broadcast_to(De, (E,)))
+            rows_aref.append(jnp.broadcast_to(-bb * vel - kk * imp * pos_eq, (E,)))
+            row = jnp.zeros((nv, E), dtype)
+            row = row.at[d1].set(1.0)
+            if j2 >= 0:
+                row = row.at[int(m.eq_j2_dofadr[e])].add(
+                    jnp.broadcast_to(-dpoly, (E,))
+                )
+            Jeq_list.append(row)
+        Jeq = jnp.stack(Jeq_list)
+        D_b.append(jnp.stack(rows_D))
+        aref_b.append(jnp.stack(rows_aref))
+        fl_b.append(jnp.zeros((neq, E), dtype))
+
+    # ---- dof friction rows ----
+    sr_dof = P("dof_solref")  # (nv, 2, Eb)
+    si_dof = P("dof_solimp")
+    iw_dof = P("dof_invweight0")  # (nv, Eb)
+    imp, kk, bb, Df = _efc_kbid(
+        sr_dof, si_dof, jnp.zeros((nv, 1), dtype), iw_dof
+    )
+    qvel_s = jnp.stack(qvel) if nv else jnp.zeros((0, E), dtype)
+    fl_dof = jnp.broadcast_to(P("dof_frictionloss"), (nv, E)).astype(dtype)
+    # friction rows participate only where frictionloss > 0 (matches the
+    # single-world engine's efc_active masking)
+    D_b.append(jnp.where(fl_dof > 0, jnp.broadcast_to(Df, (nv, E)), 0.0))
+    aref_b.append(
+        jnp.where(fl_dof > 0, jnp.broadcast_to(-bb, (nv, E)) * qvel_s, 0.0)
+    )
+    fl_b.append(fl_dof)
+
+    # ---- joint limit rows ----
+    lim_side = jnp.zeros((nlimit, E), dtype)
+    if nlimit:
+        jids = m.limit_jntid
+        ok = np.isin(m.jnt_type[jids], (JNT_HINGE, JNT_SLIDE))
+        qadr = m.jnt_qposadr[jids]
+        vadr = m.jnt_dofadr[jids]
+        qsel = jnp.stack([q[int(a)] for a in qadr])  # (nlimit, E)
+        vsel = jnp.stack([qvel[int(a)] for a in vadr])
+        rng = P("jnt_range")[jids]  # (nlimit, 2, Eb)
+        lo, hi = rng[:, 0], rng[:, 1]
+        dist_lo = qsel - lo
+        dist_hi = hi - qsel
+        lower = dist_lo < dist_hi
+        dist = jnp.minimum(dist_lo, dist_hi)
+        side = jnp.where(lower, 1.0, -1.0).astype(dtype)
+        margin = P("jnt_margin")[jids]  # (nlimit, Eb)
+        pos = dist - margin
+        iw_lim = P("dof_invweight0")[vadr]
+        imp, kk, bb, Dl = _efc_kbid(P("jnt_solref")[jids], P("jnt_solimp")[jids], pos, iw_lim)
+        act_lim = (dist < margin) & jnp.asarray(ok)[:, None]
+        lim_side = jnp.where(act_lim, side, 0.0)
+        vel = side * vsel
+        D_b.append(jnp.where(act_lim, Dl, 0.0))
+        aref_b.append(jnp.where(act_lim, -bb * vel - kk * imp * pos, 0.0))
+        fl_b.append(jnp.zeros((nlimit, E), dtype))
+
+    # ---- contact rows (top-K compaction) ----
+    pt = m.pairs
+    K = m.ncon_max
+    R = m.rows_per_con
+    KR = K * R
+    S = pt.ncon
+    Jc = jnp.zeros((KR, nv, E), dtype)
+    out = {}
+    if S and K:
+        f5, sr_s, si_s, inclm = slot_params(m, P, dtype)  # (S, *, Eb), (S, Eb)
+        dist = k["con_dist"]  # (S, E)
+        score = dist - inclm
+        neg, selT = jax.lax.top_k(-(score.T), K)  # (E, K)
+        sel = selT.T.astype(jnp.int32)  # (K, E)
+        sel_active = (-neg.T) < 0.0  # (K, E)
+
+        # compact env-dependent slot data (one fused one-hot contraction)
+        feat = jnp.concatenate(
+            [dist[:, None, :], k["con_pos"], k["con_frame"]], axis=1
+        )  # (S, 13, E)
+        featk = sel_rows(feat, sel, S)  # (K, 13, E)
+        dist_k = featk[:, 0]
+        pos_k = featk[:, 1:4]  # (K, 3, E)
+        frame_k = featk[:, 4:13]  # (K, 9, E) rows [n, t1, t2]
+
+        # slot parameter tables
+        if f5.shape[-1] == 1:
+            ptab = jnp.concatenate(
+                [f5[..., 0], sr_s[..., 0], si_s[..., 0], inclm], axis=1
+            )  # (S, 13) static
+            pk = sel_rows(ptab[:, :, None], sel, S)  # (K, 13, E)
+        else:
+            ptab = jnp.concatenate([f5, sr_s, si_s, inclm[:, None, :]], axis=1)
+            pk = sel_rows(ptab, sel, S)
+        mu_k = pk[:, 0:5]  # (K, 5, E)
+        solref_k = pk[:, 5:7]
+        solimp_k = pk[:, 7:12]
+        margin_k = pk[:, 12]
+
+        # two-level body lookups: slot id -> body/root ids (tiny tables),
+        # then one-hot over nbody for W rows and root coms
+        b1_np = m.geom_bodyid[pt.con_geom1]
+        b2_np = m.geom_bodyid[pt.con_geom2]
+        root_np = m.body_rootid
+        dim_np = pt.con_dim.astype(np.float32)
+        b1_id = jnp.asarray(b1_np)[sel]  # (K, E) const-gather
+        b2_id = jnp.asarray(b2_np)[sel]
+        dim_k = jnp.asarray(dim_np, dtype)[sel]  # (K, E)
+
+        nb = m.nbody
+        ohb1 = (b1_id[:, None, :] == jnp.arange(nb)[None, :, None]).astype(dtype)
+        ohb2 = (b2_id[:, None, :] == jnp.arange(nb)[None, :, None]).astype(dtype)
+        W = jnp.asarray(ancestor_dof_mask(m), dtype)  # (nbody, nv)
+        W1 = jnp.einsum("kbe,bv->kve", ohb1, W)  # (K, nv, E)
+        W2 = jnp.einsum("kbe,bv->kve", ohb2, W)
+        ohr1 = jnp.einsum(
+            "kbe,br->kre", ohb1,
+            jnp.asarray(np.eye(nb)[root_np], dtype),
+        )
+        ohr2 = jnp.einsum(
+            "kbe,br->kre", ohb2,
+            jnp.asarray(np.eye(nb)[root_np], dtype),
+        )
+        subtree = jnp.stack(
+            [jnp.stack(c) for c in
+             [[k["subtree_com"][b][i] for b in range(nb)] for i in range(3)]],
+        )  # (3, nbody, E)
+        subtree = jnp.moveaxis(subtree, 0, 1)  # (nbody, 3, E)
+        subtree = jnp.broadcast_to(subtree, (nb, 3, E))
+        O1 = jnp.einsum("kre,rxe->kxe", ohr1, subtree)  # (K, 3, E)
+        O2 = jnp.einsum("kre,rxe->kxe", ohr2, subtree)
+
+        iw_body = P("body_invweight0")[..., 0, :]  # (nbody, Eb)
+        if iw_body.shape[-1] == 1:
+            iw_slot1 = jnp.einsum("kbe,b->ke", ohb1, iw_body[:, 0])
+            iw_slot2 = jnp.einsum("kbe,b->ke", ohb2, iw_body[:, 0])
+        else:
+            iw_slot1 = jnp.einsum("kbe,be->ke", ohb1, iw_body)
+            iw_slot2 = jnp.einsum("kbe,be->ke", ohb2, iw_body)
+        invweight_t = iw_slot1 + iw_slot2  # (K, E)
+
+        # point Jacobians
+        cd = k["cdof"]  # list of 6-plane tuples
+        cd_ang = jnp.stack([jnp.stack(c[:3]) for c in cd])  # (nv, 3, E)
+        cd_lin = jnp.stack([jnp.stack(c[3:]) for c in cd])
+        cd_ang = jnp.broadcast_to(cd_ang, (nv, 3, E))
+        cd_lin = jnp.broadcast_to(cd_lin, (nv, 3, E))
+
+        def point_jac(Wr, Ob):
+            r = pos_k - Ob  # (K, 3, E)
+            # cross(cd_ang, r): (K, nv, 3, E)
+            a = cd_ang[None]
+            rx = r[:, None]
+            cx = jnp.stack(
+                [
+                    a[:, :, 1] * rx[:, :, 2] - a[:, :, 2] * rx[:, :, 1],
+                    a[:, :, 2] * rx[:, :, 0] - a[:, :, 0] * rx[:, :, 2],
+                    a[:, :, 0] * rx[:, :, 1] - a[:, :, 1] * rx[:, :, 0],
+                ],
+                axis=2,
+            )
+            return (cd_lin[None] + cx) * Wr[:, :, None]
+
+        jacd = point_jac(W2, O2) - point_jac(W1, O1)  # (K, nv, 3, E)
+        fr = frame_k.reshape(K, 3, 3, E)
+        Jc3 = jnp.einsum("kfxe,kvxe->kfve", fr, jacd)  # (K, 3, nv, E)
+
+        ndirs = R // 2
+        frictionless = dim_k == 1
+        dir_need = np.array([3, 3, 4, 6, 6], np.float32)[:ndirs]
+        mu_dirs = jnp.where(
+            (dim_k[:, None] >= jnp.asarray(dir_need)[None, :, None])
+            & ~frictionless[:, None],
+            mu_k[:, :ndirs],
+            0.0,
+        )  # (K, ndirs, E)
+
+        Jn, Jt1, Jt2 = Jc3[:, 0], Jc3[:, 1], Jc3[:, 2]
+        dirJ = [Jt1, Jt2]
+        if ndirs > 2:
+            jaca = cd_ang[None] * (W2 - W1)[:, :, None]  # (K, nv, 3, E)
+            Ja = jnp.einsum("kfxe,kvxe->kfve", fr, jaca)
+            dirJ += [Ja[:, 0], Ja[:, 1], Ja[:, 2]][: ndirs - 2]
+        rows_list = []
+        for i in range(ndirs):
+            rows_list.append(Jn + mu_dirs[:, i, None] * dirJ[i])
+            rows_list.append(Jn - mu_dirs[:, i, None] * dirJ[i])
+        rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv, E)
+
+        row_count = jnp.where(frictionless, 4.0, 2.0 * (jnp.maximum(dim_k, 3.0) - 1.0))
+        row_on = (
+            jnp.arange(R, dtype=dtype)[None, :, None] < row_count[:, None, :]
+        )  # (K, R, E) bool
+
+        mu1 = mu_dirs[:, 0]
+        diag_pyr = (
+            2.0 * mu1 * mu1 * (1.0 + mu1 * mu1) * invweight_t / m.opt.impratio
+        )
+        diag_approx = jnp.where(frictionless, invweight_t * 4.0, diag_pyr)
+
+        pos_c = dist_k - margin_k  # (K, E)
+        imp, kk, bb, Dc = _efc_kbid(solref_k, solimp_k, pos_c, diag_approx)
+        qv = jnp.stack(qvel)  # (nv, E)
+        vel = jnp.einsum("krve,ve->kre", rowsJ, qv)  # (K, R, E)
+        aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
+
+        on = (sel_active[:, None] & row_on).reshape(KR, E)
+        Jc = jnp.where(on[:, None, :], rowsJ.reshape(KR, nv, E), 0.0)
+        D_b.append(jnp.where(on, jnp.broadcast_to(Dc[:, None], (K, R, E)).reshape(KR, E), 0.0))
+        aref_b.append(jnp.where(on, aref_c.reshape(KR, E), 0.0))
+        fl_b.append(jnp.zeros((KR, E), dtype))
+
+        out.update(
+            con_sel=sel, con_sel_active=sel_active,
+            con_dist_k=dist_k, con_pos_k=pos_k, con_frame_k=frame_k,
+            con_mu_k=mu_k, con_dim_k=dim_k,
+            con_solref_k=solref_k, con_solimp_k=solimp_k,
+            con_margin_k=margin_k,
+        )
+    elif KR:
+        D_b.append(jnp.zeros((KR, E), dtype))
+        aref_b.append(jnp.zeros((KR, E), dtype))
+        fl_b.append(jnp.zeros((KR, E), dtype))
+
+    D = jnp.concatenate(D_b, axis=0) if D_b else jnp.zeros((0, E), dtype)
+    aref = jnp.concatenate(aref_b, axis=0) if aref_b else jnp.zeros((0, E), dtype)
+    fl = jnp.concatenate(fl_b, axis=0) if fl_b else jnp.zeros((0, E), dtype)
+
+    k.update(efc_D=D, efc_aref=aref, efc_fl=fl, efc_Jeq=Jeq,
+             efc_lim_side=lim_side, efc_Jc=Jc, **out)
+    return k
