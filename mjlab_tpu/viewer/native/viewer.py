@@ -16,12 +16,24 @@ from mjlab_tpu.viewer.base import BaseViewer
 
 
 class NativeMujocoViewer(BaseViewer):
-    def __init__(self, env, policy, frame_rate: float = 50.0, env_idx: int = 0):
+    def __init__(self, env, policy, frame_rate: float = 50.0, env_idx: int = 0,
+                 show_reward_plots: bool = True):
         super().__init__(env, policy, frame_rate)
         self.env_idx = env_idx
         self.mj_model = env.mj_model
         self.mj_data = mujoco.MjData(self.mj_model)
         self._handle = None
+        # reward live-plot data layer (reference native/viewer.py:337-397);
+        # figures update every frame, the blit needs a GL context which
+        # launch_passive owns — mjr_figure runs via its user callbacks when
+        # supported, otherwise figures stay available for custom loops
+        self.reward_plots = None
+        if show_reward_plots:
+            from mjlab_tpu.viewer.native.reward_plots import RewardPlots
+
+            terms = list(getattr(env.reward_manager, "active_terms", []))
+            if terms:
+                self.reward_plots = RewardPlots(terms)
 
     def setup(self) -> None:
         import mujoco.viewer
@@ -71,6 +83,15 @@ class NativeMujocoViewer(BaseViewer):
             with self._handle.lock():
                 self._handle.cam.lookat[:] = np.asarray(
                     robot.data.root_link_pos_w[self.env_idx]
+                )
+        if self.reward_plots is not None:
+            vals = getattr(self.env.ctx, "reward_step_values", {})
+            if vals:
+                self.reward_plots.record(
+                    {
+                        k: float(np.asarray(v)[self.env_idx])
+                        for k, v in vals.items()
+                    }
                 )
         self._handle.sync()
 

@@ -2,10 +2,12 @@
 (reference src/mjlab/viewer/viser/viewer.py:19 + scene.py:76).
 
 viser is an optional host-side dependency; when present this serves an
-interactive web scene with play/pause/speed/env-selection controls and
-per-body mesh/primitive transforms synced from device state. When absent,
-construction raises with install instructions (the rest of the framework
-never imports this module implicitly).
+interactive web scene with play/pause/speed/env-selection controls,
+per-body MESH rendering (incl. robot visual meshes, merged per body),
+contact point/force arrows decoded from the engine state, per-term reward
+live plots and debug-visualizer annotations. When absent, construction
+raises with install instructions (the rest of the framework never imports
+this module implicitly).
 """
 
 from __future__ import annotations
@@ -15,6 +17,8 @@ import numpy as np
 import mujoco
 
 from mjlab_tpu.viewer.base import BaseViewer
+from mjlab_tpu.viewer.viser.reward_plotter import RewardPlotter
+from mjlab_tpu.viewer.viser.scene import ViserMujocoScene
 
 
 def _require_viser():
@@ -25,7 +29,7 @@ def _require_viser():
     except ImportError as e:
         raise RuntimeError(
             "the web viewer needs the optional 'viser' package "
-            "(pip install viser trimesh)"
+            "(pip install viser)"
         ) from e
 
 
@@ -34,9 +38,9 @@ class ViserPlayViewer(BaseViewer):
         super().__init__(env, policy, frame_rate)
         self.env_idx = env_idx
         self.mj_model = env.mj_model
-        self.mj_data = mujoco.MjData(self.mj_model)
         self._server = None
-        self._frames = {}
+        self.scene: ViserMujocoScene | None = None
+        self._plotter: RewardPlotter | None = None
 
     def setup(self) -> None:
         viser = _require_viser()
@@ -52,33 +56,42 @@ class ViserPlayViewer(BaseViewer):
         self._env_sel = gui.add_slider(
             "env", min=0, max=self.env.num_envs - 1, step=1, initial_value=0
         )
-        self._build_scene()
-
-    def _build_scene(self) -> None:
-        m = self.mj_model
-        for g in range(m.ngeom):
-            gtype = m.geom_type[g]
-            name = f"/geom_{g}"
-            size = m.geom_size[g]
-            rgba = m.geom_rgba[g]
-            if gtype == mujoco.mjtGeom.mjGEOM_SPHERE:
-                self._frames[g] = self._server.scene.add_icosphere(
-                    name, radius=float(size[0]), color=tuple(rgba[:3])
-                )
-            elif gtype == mujoco.mjtGeom.mjGEOM_BOX:
-                self._frames[g] = self._server.scene.add_box(
-                    name, dimensions=tuple(2 * size[:3]), color=tuple(rgba[:3])
-                )
-            # other primitives/meshes: skipped in the minimal build
+        self._show_contacts = gui.add_checkbox("contact forces", True)
+        self.scene = ViserMujocoScene(
+            server=self._server,
+            mj_model=self.mj_model,
+            num_envs=self.env.num_envs,
+        )
+        terms = list(getattr(self.env.reward_manager, "active_terms", []))
+        if terms:
+            self._plotter = RewardPlotter(terms)
+            with gui.add_folder("rewards"):
+                self._plotter.attach(gui)
 
     def sync_env_to_viewer(self) -> None:
         self.env_idx = int(self._env_sel.value)
         self.set_speed(float(self._speed.value))
         state = self.env._state
-        self.mj_data.qpos[:] = np.asarray(state.data.qpos[self.env_idx])
-        mujoco.mj_forward(self.mj_model, self.mj_data)
-        for g, handle in self._frames.items():
-            handle.position = tuple(self.mj_data.geom_xpos[g])
+        d = state.data
+        e = self.env_idx
+        xpos = np.asarray(d.xpos[e])
+        xquat = np.asarray(d.xquat[e])
+        self.scene.update_body_poses(xpos, xquat)
+
+        self.scene.show_contact_points = bool(self._show_contacts.value)
+        self.scene.show_contact_forces = bool(self._show_contacts.value)
+        contacts = ViserMujocoScene.contacts_from_data(
+            self.env.sim.model, d, e
+        )
+        self.scene.update_contacts(contacts)
+
+        if self._plotter is not None:
+            vals = getattr(self.env.ctx, "reward_step_values", {})
+            if vals:
+                self._plotter.record(
+                    {k: float(np.asarray(v)[e]) for k, v in vals.items()}
+                )
+                self._plotter.push()
 
     def teardown(self) -> None:
         if self._server is not None:
