@@ -51,6 +51,9 @@ def run(
     input_fps: int = 30,
     output_fps: int = 50,
     robot: str = "unitree_g1",
+    render: bool = False,
+    render_file: str = "motion.mp4",
+    wandb_registry: str | None = None,
 ):
     from mjlab_tpu.entity.entity import Entity
     from mjlab_tpu.phys.data import make_data
@@ -97,11 +100,19 @@ def run(
         d = com_vel(m, d)
         return d.xpos, d.xquat, d.cvel
 
-    xpos, xquat, cvel = jax.jit(jax.vmap(fk))(qpos, qvel)
-    # cvel rows are [ang(3), lin-at-subtree-com(3)]; export link-frame
-    # world velocities at body origins like the reference FK pass
-    body_ang = cvel[..., :3]
-    body_lin = cvel[..., 3:]
+    def fk2(qp, qv):
+        d = d0.replace(qpos=qp, qvel=qv)
+        d = kinematics(m, d)
+        d = com_pos(m, d)
+        d = com_vel(m, d)
+        # cvel is referenced at the subtree CoM of each body's root; shift
+        # the linear part to the BODY ORIGIN (reference FK semantics)
+        O = d.subtree_com[m.body_rootid]  # (nbody, 3)
+        ang = d.cvel[:, :3]
+        lin = d.cvel[:, 3:] + jnp.cross(ang, d.xpos - O)
+        return d.xpos, d.xquat, ang, lin
+
+    xpos, xquat, body_ang, body_lin = jax.jit(jax.vmap(fk2))(qpos, qvel)
 
     np.savez(
         output_file,
@@ -115,6 +126,55 @@ def run(
     )
     print(f"wrote {output_file}: {T} frames @ {output_fps} fps")
 
+    if render:
+        _render_motion(mj, np.asarray(qpos), output_fps, render_file)
+    if wandb_registry:
+        _upload_to_wandb(output_file, wandb_registry, render_file if render else None)
+
+
+def _render_motion(mj, qpos: np.ndarray, fps: int, out_file: str) -> None:
+    """Offscreen-render the retargeted motion to mp4 (reference
+    csv_to_npz.py render path). Needs a MuJoCo GL backend."""
+    import mujoco
+
+    from mjlab_tpu.utils.wrappers.video_recorder import encode_video
+
+    renderer = mujoco.Renderer(mj, height=480, width=640)
+    cam = mujoco.MjvCamera()
+    cam.distance, cam.azimuth, cam.elevation = 4.0, 90.0, -20.0
+    dmj = mujoco.MjData(mj)
+    frames = []
+    for t in range(qpos.shape[0]):
+        dmj.qpos[:] = qpos[t]
+        mujoco.mj_kinematics(mj, dmj)
+        cam.lookat[:] = dmj.qpos[:3]
+        renderer.update_scene(dmj, camera=cam)
+        frames.append(renderer.render())
+    renderer.close()
+    out = encode_video(frames, out_file, fps)
+    print(f"rendered {len(frames)} frames to {out}")
+
+
+def _upload_to_wandb(npz_file: str, registry: str, video_file: str | None):
+    """Log the motion npz (and optional video) to a W&B artifact registry
+    (reference csv_to_npz.py:311-334)."""
+    import os
+
+    import wandb
+
+    collection = os.path.splitext(os.path.basename(npz_file))[0]
+    run = wandb.init(project="csv_to_npz", name=collection)
+    artifact = wandb.Artifact(name=collection, type="motion")
+    artifact.add_file(npz_file)
+    logged = run.log_artifact(artifact)
+    run.link_artifact(
+        logged, target_path=f"wandb-registry-{registry}/{collection}"
+    )
+    print(f"motion saved to wandb registry {registry}/{collection}")
+    if video_file:
+        wandb.log({"motion_video": wandb.Video(video_file, format="mp4")})
+    run.finish()
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -123,8 +183,17 @@ def main():
     p.add_argument("--input-fps", type=int, default=30)
     p.add_argument("--output-fps", type=int, default=50)
     p.add_argument("--robot", default="unitree_g1")
+    p.add_argument("--render", action="store_true",
+                   help="offscreen-render the motion to mp4")
+    p.add_argument("--render-file", default="motion.mp4")
+    p.add_argument("--wandb-registry", default=None,
+                   help="link the npz into this W&B artifact registry")
     a = p.parse_args()
-    run(a.input_file, a.output_file, a.input_fps, a.output_fps, a.robot)
+    run(
+        a.input_file, a.output_file, a.input_fps, a.output_fps, a.robot,
+        render=a.render, render_file=a.render_file,
+        wandb_registry=a.wandb_registry,
+    )
 
 
 if __name__ == "__main__":

@@ -105,3 +105,37 @@ class VideoRecorder:
         self._flush()
         self._renderer.close()
         self.env.close()
+
+
+def encode_video(frames, path: str, fps: int) -> str:
+    """Standalone frame-list encoder: mp4 via ffmpeg when available, else
+    animated gif via PIL (same pipeline the VideoRecorder uses). Returns
+    the path actually written."""
+    if not frames:
+        raise ValueError("no frames to encode")
+    if shutil.which("ffmpeg"):
+        h, w = frames[0].shape[:2]
+        cmd = [
+            "ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-s", f"{w}x{h}", "-r", str(fps), "-i", "-",
+            "-c:v", "libx264", "-pix_fmt", "yuv420p", path,
+        ]
+        proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        for f in frames:
+            proc.stdin.write(np.ascontiguousarray(f).tobytes())
+        proc.stdin.close()
+        proc.wait()
+        return path
+    from PIL import Image
+
+    if not path.endswith(".gif"):
+        path = os.path.splitext(path)[0] + ".gif"
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(
+        path, save_all=True, append_images=imgs[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+    return path
