@@ -60,6 +60,8 @@ def run_train(
     resume: bool = False,
     checkpoint: str | None = None,
     enable_nan_guard: bool = False,
+    registry_name: str | None = None,
+    motion_file: str | None = None,
 ):
     if distributed:
         import jax
@@ -94,6 +96,27 @@ def run_train(
     if resume:
         agent_cfg.resume = True
 
+    # tracking tasks: motion file from a local path or a W&B motion
+    # registry artifact (reference scripts/train.py:68-92)
+    runner_kwargs = {}
+    is_tracking = (
+        env_cfg.commands is not None
+        and hasattr(env_cfg.commands, "motion")
+    )
+    if is_tracking:
+        if motion_file is not None:
+            env_cfg.commands.motion.motion_file = motion_file
+        elif registry_name is not None:
+            if ":" not in registry_name:
+                registry_name = registry_name + ":latest"
+            import wandb
+
+            artifact = wandb.Api().artifact(registry_name)
+            env_cfg.commands.motion.motion_file = os.path.join(
+                artifact.download(), "motion.npz"
+            )
+            runner_kwargs["registry_name"] = registry_name
+
     if log_dir is None:
         stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
         log_dir = os.path.join("logs", agent_cfg.experiment_name, stamp)
@@ -110,7 +133,10 @@ def run_train(
 
     env = ManagerBasedRlEnv(env_cfg)
     wrapped = RslRlVecEnvWrapper(env, clip_actions=agent_cfg.clip_actions)
-    runner = runner_cls(wrapped, agent_cfg, log_dir=log_dir)
+    try:
+        runner = runner_cls(wrapped, agent_cfg, log_dir=log_dir, **runner_kwargs)
+    except TypeError:
+        runner = runner_cls(wrapped, agent_cfg, log_dir=log_dir)
 
     # resume: explicit checkpoint, else latest run/checkpoint by the cfg
     # regexes (reference scripts/train.py:111-128, utils/os.py:52-90)
@@ -150,6 +176,14 @@ def main():
         help="record physics state history and dump on first NaN",
     )
     parser.add_argument(
+        "--registry-name", default=None,
+        help="W&B motion registry artifact for tracking tasks",
+    )
+    parser.add_argument(
+        "--motion-file", default=None,
+        help="local motion npz for tracking tasks (overrides the registry)",
+    )
+    parser.add_argument(
         "--env", action="append", default=[], help="env cfg override key=value"
     )
     parser.add_argument(
@@ -187,6 +221,8 @@ def main():
         resume=args.resume,
         checkpoint=args.checkpoint,
         enable_nan_guard=args.enable_nan_guard,
+        registry_name=args.registry_name,
+        motion_file=args.motion_file,
     )
 
 
