@@ -4,9 +4,12 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Protocol mirrors the reference benchmark (reference
 scripts/benchmarks/measure_throughput.py:54-121): full env step (physics x
-decimation + managers + obs + masked resets) at 4096 envs, warmup then timed
-steps. The measured unit is a scanned rollout inside ONE jitted program —
-exactly how the PPO runner executes it — so per-dispatch RPC latency of the
+decimation + managers + obs + masked resets) at 4096 envs with RANDOM
+actions resampled every control step — episodes terminate and reset
+mid-benchmark exactly as in training. Physics-only SPS and manager
+overhead are reported on stderr (reference protocol's second number).
+The measured unit is a scanned rollout inside ONE jitted program — exactly
+how the PPO runner executes it — so per-dispatch RPC latency of the
 host<->TPU link doesn't pollute the number (the reference's CUDA-graph
 replay has the same property).
 """
@@ -19,7 +22,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
+import numpy as np
+
+
+def _time_best(fn, state, reps):
+    best = 1e30
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state = fn(state)
+        # host fetch forces completion through the tunnel
+        # (block_until_ready does not, see PERF_NOTES.md)
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(state)[0].ravel()[:1]))
+        best = min(best, time.perf_counter() - t0)
+    return best, state
 
 
 def main():
@@ -28,6 +48,7 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", 25))
     reps = int(os.environ.get("BENCH_REPS", 3))
 
+    import mjlab_tpu.phys.forward as phys_fwd
     import mjlab_tpu.tasks as tasks
     from mjlab_tpu.envs import ManagerBasedRlEnv
 
@@ -37,31 +58,63 @@ def main():
     env.reset()
 
     A = env.action_manager.total_action_dim
-    rng = jax.random.PRNGKey(0)
-    action = 0.1 * jax.random.normal(rng, (num_envs, A))
 
-    def rollout(state, action):
-        def body(s, _):
+    # full env rollout: fresh random action every control step -> real
+    # termination/reset/event traffic (reference measure_throughput
+    # semantics, not a settled fixed-action loop)
+    def rollout(carry):
+        state, rng = carry
+
+        def body(c, _):
+            s, r = c
+            r, k = jax.random.split(r)
+            action = 0.5 * jax.random.normal(k, (num_envs, A))
             s, obs, rew, term, trunc, logs = env._traced_step(s, action)
-            return s, None
-        s, _ = jax.lax.scan(body, state, None, length=chunk)
-        return s
+            return (s, r), None
+
+        carry, _ = jax.lax.scan(body, carry, None, length=chunk)
+        return carry
 
     roll = jax.jit(rollout, donate_argnums=0)
 
-    state = env._state
+    carry = (env._state, jax.random.PRNGKey(0))
     for _ in range(warmup):
-        state = roll(state, action)
-    jax.block_until_ready(state.data.qpos)
+        carry = roll(carry)
+    np.asarray(jax.device_get(carry[0].data.qpos.ravel()[:1]))
 
-    best = 1e30
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        state = roll(state, action)
-        jax.block_until_ready(state.data.qpos)
-        best = min(best, time.perf_counter() - t0)
-
+    best, carry = _time_best(roll, carry, reps)
     env_sps = num_envs * chunk / best
+
+    n_auto = int(np.asarray(jax.device_get(carry[0].data.ncheck_reset)).sum())
+    print(f"[bench] mj_check auto-resets during benchmark: {n_auto}",
+          file=sys.stderr)
+
+    # physics-only SPS (reference measure_physics_sps): raw substeps, no
+    # managers, same decimation accounting
+    m = env.sim.model
+    maxes = env.sim.model_axes
+    dec = env.cfg.decimation
+    step_phys = jax.vmap(phys_fwd.step, in_axes=(maxes, 0))
+
+    def phys_roll(d):
+        def body(dd, _):
+            return step_phys(m, dd), None
+
+        d, _ = jax.lax.scan(body, d, None, length=chunk * dec)
+        return d
+
+    proll = jax.jit(phys_roll, donate_argnums=0)
+    d = carry[0].data
+    d = proll(d)
+    np.asarray(jax.device_get(d.qpos.ravel()[:1]))
+    pbest, d = _time_best(proll, d, reps)
+    phys_sps = num_envs * chunk / pbest
+    print(
+        f"[bench] physics-only: {phys_sps:,.0f} env-steps/s | full env: "
+        f"{env_sps:,.0f} | manager overhead {100 * (1 - pbest / best):.1f}%",
+        file=sys.stderr,
+    )
+
     target = 1_000_000.0  # BASELINE.md single-host target
     print(
         json.dumps(

@@ -62,6 +62,9 @@ class Contact:
 class Data:
     # ----- inputs / state -----
     time: jax.Array
+    ncheck_reset: jax.Array  # () int32: mj_check* auto-reset count (this
+    # world); nonzero means a diverged state was silently re-seeded —
+    # benches/tests assert it stays 0
     qpos: jax.Array  # (nq,)
     qvel: jax.Array  # (nv,)
     ctrl: jax.Array  # (nu,)
@@ -150,6 +153,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
     eye_b = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nbody, 3, 3))
     return Data(
         time=z(),
+        ncheck_reset=jnp.zeros((), jnp.int32),
         qpos=jnp.asarray(m.qpos0, dtype),
         qvel=z(m.nv),
         ctrl=z(m.nu),
@@ -228,6 +232,7 @@ def put_data(m: Model, d_mj: mujoco.MjData, dtype=jnp.float32) -> Data:
     d = make_data(m, dtype)
     return d.replace(
         time=jnp.asarray(d_mj.time, dtype),
+        ncheck_reset=jnp.zeros((), jnp.int32),
         qpos=jnp.asarray(np.array(d_mj.qpos), dtype),
         qvel=jnp.asarray(np.array(d_mj.qvel), dtype),
         ctrl=jnp.asarray(np.array(d_mj.ctrl), dtype),

@@ -161,4 +161,7 @@ def step(m: Model, d: Data) -> Data:
     qpos = jnp.where(bad, jnp.asarray(m.qpos0, qpos.dtype), qpos)
     qvel = jnp.where(bad, 0.0, qvel)
     d = d.replace(qacc_warmstart=jnp.where(bad, 0.0, d.qacc_warmstart))
-    return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+    return d.replace(
+        qpos=qpos, qvel=qvel, time=d.time + h,
+        ncheck_reset=d.ncheck_reset + bad.astype(jnp.int32),
+    )

@@ -346,8 +346,11 @@ def step_lm(m: Model, bf: frozenset, d: Data) -> Data:
     qvel_arr = jnp.where(bad, 0.0, qvel_arr)
     ws = jnp.where(bad, 0.0, qacc)
 
-    return _write_back(
+    out = _write_back(
         m, d, k, qpos_arr.T, qvel_arr.T, qacc, ws, d.time + h
+    )
+    return out.replace(
+        ncheck_reset=d.ncheck_reset + bad.astype(jnp.int32)
     )
 
 
