@@ -30,6 +30,10 @@ def test_g1_random_rollout_stays_finite():
         state, obs, rew, term, trunc, _ = step(state, action)
     qpos = np.asarray(state.data.qpos)
     qvel = np.asarray(state.data.qvel)
+    # no silent mj_check re-seeds either (the round-1 f32 divergence was
+    # root-caused to the implicitfast actuator derivative ignoring force
+    # saturation; scripts/f32_stress.py runs the long-horizon version)
+    assert int(np.asarray(state.data.ncheck_reset).sum()) == 0
     assert np.isfinite(qpos).all(), "qpos went non-finite under f32"
     assert np.isfinite(qvel).all(), "qvel went non-finite under f32"
     assert np.isfinite(np.asarray(obs["policy"])).all()
