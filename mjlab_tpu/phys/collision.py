@@ -40,6 +40,9 @@ _PAIR_NCON = {
     (GEOM_PLANE, GEOM_SPHERE): 1,
     (GEOM_PLANE, GEOM_CAPSULE): 2,
     (GEOM_PLANE, GEOM_BOX): 4,
+    (GEOM_PLANE, GEOM_CYLINDER): 4,
+    (GEOM_PLANE, GEOM_ELLIPSOID): 1,
+    (GEOM_SPHERE, GEOM_CYLINDER): 1,
     (GEOM_HFIELD, GEOM_SPHERE): 1,
     (GEOM_HFIELD, GEOM_CAPSULE): 2,
     (GEOM_HFIELD, GEOM_BOX): 4,
@@ -68,15 +71,51 @@ def make_pair_table(mj: mujoco.MjModel):
         # signature = body1 << 16 | body2
         excludes.add((sig >> 16, sig & 0xFFFF))
         excludes.add((sig & 0xFFFF, sig >> 16))
-    if mj.npair:
-        warnings.warn("explicit <pair> elements are not yet supported; ignored")
 
     filterparent = not (mj.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_FILTERPARENT)
 
+    # explicit <pair> elements come FIRST: they bypass contype/conaffinity
+    # filtering, dedupe the dynamic pair, and carry their own
+    # condim/friction/solref/solimp/margin/gap (measured semantics: a
+    # geom pair listed explicitly produces exactly one contact with the
+    # pair's parameters even when the dynamic filter also matches it)
     g1s, g2s = [], []
+    explicit_rows = []  # parallel per-pair override dicts
+    explicit_set = set()
     skipped = set()
+    for p in range(mj.npair):
+        i, j = int(mj.pair_geom1[p]), int(mj.pair_geom2[p])
+        t1, t2 = int(mj.geom_type[i]), int(mj.geom_type[j])
+        gi, gj = (i, j) if t1 <= t2 else (j, i)
+        key = (min(t1, t2), max(t1, t2))
+        if key not in _PAIR_NCON:
+            skipped.add(key)
+            continue
+        if np.any(mj.pair_solreffriction[p] != 0.0):
+            warnings.warn(
+                "<pair solreffriction> is not supported; using solref for "
+                "friction rows"
+            )
+        g1s.append(gi)
+        g2s.append(gj)
+        explicit_set.add((min(i, j), max(i, j)))
+        fr = np.asarray(mj.pair_friction[p], np.float64).copy()
+        explicit_rows.append(
+            dict(
+                condim=int(mj.pair_dim[p]),
+                friction5=fr,
+                solref=np.asarray(mj.pair_solref[p], np.float64).copy(),
+                solimp=np.asarray(mj.pair_solimp[p], np.float64).copy(),
+                margin=float(mj.pair_margin[p]),
+                gap=float(mj.pair_gap[p]),
+            )
+        )
+
+    n_explicit = len(g1s)
     for i in range(mj.ngeom):
         for j in range(i + 1, mj.ngeom):
+            if (min(i, j), max(i, j)) in explicit_set:
+                continue
             b1, b2 = int(mj.geom_bodyid[i]), int(mj.geom_bodyid[j])
             w1, w2 = int(weld[b1]), int(weld[b2])
             if w1 == w2:
@@ -106,18 +145,20 @@ def make_pair_table(mj: mujoco.MjModel):
     # sort pairs by type-pair so each narrowphase group owns a contiguous
     # contact-slot range — collision() then assembles results by
     # concatenation instead of batched scatters
+    ex_data = explicit_rows + [None] * (len(g1s) - n_explicit)
     order = sorted(
         range(len(g1s)),
         key=lambda p: (int(mj.geom_type[g1s[p]]), int(mj.geom_type[g2s[p]])),
     )
     g1s = [g1s[p] for p in order]
     g2s = [g2s[p] for p in order]
+    ex_data = [ex_data[p] for p in order]
 
     geom1 = np.array(g1s, np.int32)
     geom2 = np.array(g2s, np.int32)
     npair = len(g1s)
 
-    # condim: priority rule, else max
+    # condim: priority rule, else max; explicit pairs use their own dim
     p1 = mj.geom_priority[geom1] if npair else np.zeros(0)
     p2 = mj.geom_priority[geom2] if npair else np.zeros(0)
     c1 = mj.geom_condim[geom1] if npair else np.zeros(0, np.int32)
@@ -125,6 +166,22 @@ def make_pair_table(mj: mujoco.MjModel):
     pair_condim = np.where(
         p1 > p2, c1, np.where(p2 > p1, c2, np.maximum(c1, c2))
     ).astype(np.int32)
+
+    ex_mask = np.array([e is not None for e in ex_data], bool)
+    ex_friction5 = np.zeros((npair, 5))
+    ex_solref = np.zeros((npair, 2))
+    ex_solimp = np.zeros((npair, 5))
+    ex_margin = np.zeros(npair)
+    ex_gap = np.zeros(npair)
+    for idx, e in enumerate(ex_data):
+        if e is None:
+            continue
+        pair_condim[idx] = e["condim"]
+        ex_friction5[idx] = e["friction5"]
+        ex_solref[idx] = e["solref"]
+        ex_solimp[idx] = e["solimp"]
+        ex_margin[idx] = e["margin"]
+        ex_gap[idx] = e["gap"]
 
     pair_ncon = np.array(
         [
@@ -147,6 +204,12 @@ def make_pair_table(mj: mujoco.MjModel):
         pair_condim=pair_condim,
         pair_ncon=pair_ncon,
         pair_conadr=pair_conadr,
+        ex_mask=ex_mask,
+        ex_friction5=ex_friction5,
+        ex_solref=ex_solref,
+        ex_solimp=ex_solimp,
+        ex_margin=ex_margin,
+        ex_gap=ex_gap,
         ncon=ncon,
         con_pairid=con_pairid,
         con_geom1=con_geom1,
@@ -202,6 +265,15 @@ def pair_params(m) -> tuple:
         [friction[:, 0], friction[:, 0], friction[:, 1], friction[:, 2], friction[:, 2]],
         axis=-1,
     )
+
+    # explicit <pair> rows use the pair's own parameters verbatim
+    if pt.ex_mask.any():
+        exm = pt.ex_mask[:, None]
+        friction5 = jnp.where(exm, pt.ex_friction5, friction5)
+        solref = jnp.where(exm, pt.ex_solref, solref)
+        solimp = jnp.where(exm, pt.ex_solimp, solimp)
+        margin = jnp.where(pt.ex_mask, pt.ex_margin, margin)
+        gap = jnp.where(pt.ex_mask, pt.ex_gap, gap)
     return friction5, solref, solimp, margin, gap
 
 
@@ -285,6 +357,124 @@ def _plane_box(xpos1, xmat1, size1, xpos2, xmat2, size2):
     pos = pos - n[..., None, :] * 0.5 * dist[..., None]
     frame = jnp.broadcast_to(make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3))
     return dist, pos, frame
+
+
+def _plane_cylinder(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    """Plane vs cylinder: 4 candidate slots — the deepest rim point of the
+    near cap, its +-120deg rim neighbors (cap resting flat), and the far
+    cap's deepest rim point (side-lying line contact). Matches measured
+    mujoco contact sets for standing / tilted / lying cylinders."""
+    n = xmat1[..., :, 2]
+    a = xmat2[..., :, 2]
+    r = size2[..., 0:1]
+    h = size2[..., 1:2]
+    prj = jnp.sum(n * a, axis=-1, keepdims=True)
+    # tangential direction of the plane normal within the disk plane
+    t = n - a * prj
+    tn = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    that = jnp.where(tn > 1e-10, t / jnp.maximum(tn, 1e-12), xmat2[..., :, 0])
+    sgn = jnp.where(prj >= 0, 1.0, -1.0)
+    near = xpos2 - a * h * sgn
+    far = xpos2 + a * h * sgn
+    b = jnp.cross(a, that)  # unit, in-disk, orthogonal to that
+
+    # rim points at +-120deg from the deepest direction (-that):
+    # cap + r*(cos120*(-that) +- sin120*b)
+    c120, s120 = -0.5, 0.8660254037844386
+    p120a = near + r * (c120 * (-that) + s120 * b)
+    p120b = near + r * (c120 * (-that) - s120 * b)
+    cands = jnp.stack([near - r * that, p120a, p120b, far - r * that], axis=-2)
+
+    dist = jnp.sum(
+        n[..., None, :] * (cands - xpos1[..., None, :]), axis=-1
+    )  # (..., 4)
+    pos = cands - n[..., None, :] * 0.5 * dist[..., None]
+    frame = jnp.broadcast_to(
+        make_frame(n)[..., None, :, :], pos.shape[:-1] + (3, 3)
+    )
+    return dist, pos, frame
+
+
+def _plane_ellipsoid(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    """Plane vs ellipsoid: single support point along -n."""
+    n = xmat1[..., :, 2]
+    S = size2[..., :3]
+    n_l = jnp.einsum("...ij,...i->...j", xmat2, n)  # R^T n
+    Sn = S * n_l
+    denom = jnp.linalg.norm(Sn, axis=-1, keepdims=True)
+    p_local = -(S * Sn) / jnp.maximum(denom, 1e-12)
+    g = xpos2 + jnp.einsum("...ij,...j->...i", xmat2, p_local)
+    dist = jnp.sum(n * (g - xpos1), axis=-1)
+    pos = g - n * 0.5 * dist[..., None]
+    return (
+        dist[..., None],
+        pos[..., None, :],
+        make_frame(n)[..., None, :, :],
+    )
+
+
+def _sphere_cylinder(xpos1, xmat1, size1, xpos2, xmat2, size2):
+    """Sphere vs solid cylinder: closest surface point, incl. the
+    center-inside case (nearest of side wall vs cap)."""
+    rs = size1[..., 0]
+    r = size2[..., 0]
+    h = size2[..., 1]
+    d_l = jnp.einsum(
+        "...ij,...i->...j", xmat2, xpos1 - xpos2
+    )  # sphere center in cylinder frame
+    z = d_l[..., 2]
+    rho = d_l[..., :2]
+    rho_n = jnp.linalg.norm(rho, axis=-1)
+    inside = (jnp.abs(z) <= h) & (rho_n <= r)
+
+    # outside: clamp to the solid
+    z_c = jnp.clip(z, -h, h)
+    scale = jnp.minimum(1.0, r / jnp.maximum(rho_n, 1e-12))
+    rho_c = rho * scale[..., None]
+    cp_out = jnp.concatenate([rho_c, z_c[..., None]], axis=-1)
+
+    # inside: project to the nearer surface
+    side_gap = r - rho_n
+    cap_gap = h - jnp.abs(z)
+    rho_dir = rho / jnp.maximum(rho_n, 1e-12)[..., None]
+    # degenerate on-axis: pick local +x
+    rho_dir = jnp.where(
+        (rho_n < 1e-12)[..., None],
+        jnp.array([1.0, 0.0], xpos1.dtype),
+        rho_dir,
+    )
+    cp_side = jnp.concatenate(
+        [rho_dir * r[..., None], z[..., None]], axis=-1
+    )
+    cp_cap = jnp.concatenate(
+        [rho, jnp.sign(z)[..., None] * h[..., None]], axis=-1
+    )
+    cp_in = jnp.where((side_gap < cap_gap)[..., None], cp_side, cp_cap)
+
+    cp_l = jnp.where(inside[..., None], cp_in, cp_out)
+    cp_w = xpos2 + jnp.einsum("...ij,...j->...i", xmat2, cp_l)
+
+    # outside: sphere-vs-point; inside: penetration through the surface
+    d_out, p_out, n_out = _sphere_sphere_raw(
+        xpos1, rs, cp_w, jnp.zeros_like(rs), xpos1.dtype
+    )
+    pen = jnp.minimum(side_gap, cap_gap)
+    d_in = -(pen + rs)
+    n_in_l = jnp.where(
+        (side_gap < cap_gap)[..., None],
+        jnp.concatenate([rho_dir, jnp.zeros_like(z)[..., None]], axis=-1),
+        jnp.concatenate(
+            [jnp.zeros_like(rho), jnp.sign(z)[..., None]], axis=-1
+        ),
+    )
+    # normal points sphere -> cylinder (geom1 -> geom2): inward = -surface dir
+    n_in = -jnp.einsum("...ij,...j->...i", xmat2, n_in_l)
+    p_in = cp_w - n_in * 0.5 * d_in[..., None]
+
+    dist = jnp.where(inside, d_in, d_out)
+    pos = jnp.where(inside[..., None], p_in, p_out)
+    nrm = jnp.where(inside[..., None], n_in, n_out)
+    return dist[..., None], pos[..., None, :], make_frame(nrm)[..., None, :, :]
 
 
 def _sphere_sphere_raw(c1, r1, c2, r2, dtype):
@@ -635,6 +825,9 @@ _NARROWPHASE = {
     (GEOM_PLANE, GEOM_SPHERE): _plane_sphere,
     (GEOM_PLANE, GEOM_CAPSULE): _plane_capsule,
     (GEOM_PLANE, GEOM_BOX): _plane_box,
+    (GEOM_PLANE, GEOM_CYLINDER): _plane_cylinder,
+    (GEOM_PLANE, GEOM_ELLIPSOID): _plane_ellipsoid,
+    (GEOM_SPHERE, GEOM_CYLINDER): _sphere_cylinder,
     (GEOM_SPHERE, GEOM_SPHERE): _sphere_sphere,
     (GEOM_SPHERE, GEOM_CAPSULE): _sphere_capsule,
     (GEOM_SPHERE, GEOM_BOX): _sphere_box,

@@ -66,6 +66,13 @@ def _np_pair_params(m):
         [friction[:, 0], friction[:, 0], friction[:, 1], friction[:, 2], friction[:, 2]],
         axis=-1,
     )
+    if pt.ex_mask.any():
+        exm = pt.ex_mask[:, None]
+        friction5 = np.where(exm, pt.ex_friction5, friction5)
+        solref = np.where(exm, pt.ex_solref, solref)
+        solimp = np.where(exm, pt.ex_solimp, solimp)
+        margin = np.where(pt.ex_mask, pt.ex_margin, margin)
+        gap = np.where(pt.ex_mask, pt.ex_gap, gap)
     return friction5, solref, solimp, margin, gap
 
 
@@ -124,6 +131,15 @@ def slot_params(m, P: Params, dtype):
          friction[:, 2], friction[:, 2]],
         axis=1,
     )
+    if pt.ex_mask.any():
+        exm = pt.ex_mask[:, None, None]
+        friction5 = jnp.where(exm, pt.ex_friction5[..., None], friction5)
+        solref = jnp.where(exm, pt.ex_solref[..., None], solref)
+        solimp = jnp.where(exm, pt.ex_solimp[..., None], solimp)
+        margin = jnp.where(
+            pt.ex_mask[:, None], pt.ex_margin[:, None], margin
+        )
+        gap = jnp.where(pt.ex_mask[:, None], pt.ex_gap[:, None], gap)
     bc = lambda x: jnp.broadcast_to(x[cp], (len(cp),) + x.shape[1:])
     return bc(friction5), bc(solref), bc(solimp), bc(margin - gap)
 

@@ -77,6 +77,14 @@ class PairTable:
     pair_condim: Static[np.ndarray]  # (npair,)
     pair_ncon: Static[np.ndarray]  # (npair,) contact slots for this pair
     pair_conadr: Static[np.ndarray]  # (npair,) first contact slot index
+    # explicit <pair> overrides (zeros + mask False on dynamic pairs);
+    # compile-time constants matching MuJoCo (geom DR never affects them)
+    ex_mask: Static[np.ndarray]  # (npair,) bool
+    ex_friction5: Static[np.ndarray]  # (npair, 5)
+    ex_solref: Static[np.ndarray]  # (npair, 2)
+    ex_solimp: Static[np.ndarray]  # (npair, 5)
+    ex_margin: Static[np.ndarray]  # (npair,)
+    ex_gap: Static[np.ndarray]  # (npair,)
     ncon: Static[int]  # total contact slots
     # per contact slot (length ncon):
     con_pairid: Static[np.ndarray]
