@@ -53,14 +53,24 @@ class NativeMujocoViewer(BaseViewer):
             self._handle.cam.elevation = cfg.elevation
 
     def _on_key(self, key: int) -> None:
-        if key == 32:  # SPACE
+        from mjlab_tpu.viewer.native.keys import BINDINGS
+
+        binding = BINDINGS.get(key)
+        if binding is None:
+            return
+        action, arg = binding
+        if action == "toggle_pause":
             self.toggle_pause()
-        elif key == 259:  # BACKSPACE
+        elif action == "request_reset":
             self.request_reset()
-        elif key == 45:  # -
-            self.set_speed(self.speed * 0.5)
-        elif key == 61:  # =
-            self.set_speed(self.speed * 2.0)
+        elif action == "speed_scale":
+            self.set_speed(self.speed * arg)
+        elif action == "env_delta":
+            self.env_idx = int(
+                (self.env_idx + arg) % self.env.num_envs
+            )
+        elif action == "toggle_reward_plots" and self.reward_plots is not None:
+            self._show_plots = not getattr(self, "_show_plots", True)
 
     def is_open(self) -> bool:
         return self._handle is not None and self._handle.is_running()
