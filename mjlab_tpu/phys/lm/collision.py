@@ -237,13 +237,27 @@ def collision_lm(m, P: Params, k: dict, dtype):
 
     dist_b, pos_b, frame_b = [], [], []
 
-    def stackv(lst_of_tuples):
-        """List over pairs of component tuples -> tuple of (P, E) arrays."""
-        n = len(lst_of_tuples[0])
-        return tuple(
-            jnp.stack([jnp.broadcast_to(t[i], (E,)) for t in lst_of_tuples])
-            for i in range(n)
+    # stack per-GEOM components once, then per-group static takes: the
+    # previous per-pair broadcast+stack emitted ~25k jaxpr eqns for a
+    # 533-slot table (compile-cost dominant), the take form ~1k
+    ngeom = m.ngeom
+    gx_all = tuple(
+        jnp.stack([jnp.broadcast_to(gx[g][i], (E,)) for g in range(ngeom)])
+        for i in range(3)
+    )
+    gm_all = tuple(
+        jnp.stack([jnp.broadcast_to(gm[g][i], (E,)) for g in range(ngeom)])
+        for i in range(9)
+    )
+    gs_all = tuple(
+        jnp.stack(
+            [jnp.broadcast_to(gsize(g, i), (E,)) for g in range(ngeom)]
         )
+        for i in range(3)
+    )
+
+    def takev(all_comps, idx):
+        return tuple(c[idx] for c in all_comps)
 
     def emit(dists, poss, frames):
         """dists: list per contact-point of (P,E); poss/frames tuples.
@@ -269,17 +283,13 @@ def collision_lm(m, P: Params, k: dict, dtype):
         g2 = pt.geom2[np.array(plist)]
         t1, t2 = key
 
-        # stacked group inputs: components (P, E)
-        xp1 = stackv([gx[g] for g in g1])
-        xm1 = stackv([gm[g] for g in g1])
-        xp2 = stackv([gx[g] for g in g2])
-        xm2 = stackv([gm[g] for g in g2])
-
-        def sz(gs, i):
-            return jnp.stack([jnp.broadcast_to(gsize(g, i), (E,)) for g in gs])
-
-        s1 = (sz(g1, 0), sz(g1, 1), sz(g1, 2))
-        s2 = (sz(g2, 0), sz(g2, 1), sz(g2, 2))
+        # stacked group inputs: components (P, E) via static takes
+        xp1 = takev(gx_all, g1)
+        xm1 = takev(gm_all, g1)
+        xp2 = takev(gx_all, g2)
+        xm2 = takev(gm_all, g2)
+        s1 = takev(gs_all, g1)
+        s2 = takev(gs_all, g2)
 
         if t1 == GEOM_PLANE and t2 == GEOM_SPHERE:
             n = _col(xm1, 2)

@@ -103,16 +103,19 @@ def _forward_core(m: Model, bf: frozenset, d: Data):
         + qfrc_x[i]
         for i in range(nv)
     ]
-    L = chol_planes(k["qM"], nv)
-    qacc_smooth = chol_solve_planes(L, qfrc_smooth, nv)
+    # dense env-last Cholesky (solver's array form): the plane-dict factor
+    # exploits branch sparsity but costs ~10x the jaxpr size, which was
+    # the dominant compile-cost term of this engine
+    from mjlab_tpu.phys.lm.solver import _chol_solve_envlast
 
     k["qM_dense"] = _qM_dense(k["qM"], nv, E, dtype)
-    a_smooth = jnp.stack([jnp.broadcast_to(x, (E,)) for x in qacc_smooth])
+    qfs = jnp.stack([jnp.broadcast_to(x, (E,)) for x in qfrc_smooth])
+    a_smooth = _chol_solve_envlast(k["qM_dense"], qfs, nv)
     x_ws = d.qacc_warmstart.T  # (nv, E)
     sol = solve_lm(m, P, k, a_smooth, x_ws, dtype)
 
     k.update(
-        qfrc_smooth=qfrc_smooth, qacc_smooth=a_smooth, cholL=L, sol=sol,
+        qfrc_smooth=qfrc_smooth, qacc_smooth=a_smooth, sol=sol,
         q=q, qvel=qvel, P=P,
     )
     return k
@@ -263,18 +266,22 @@ def step_lm(m: Model, bf: frozenset, d: Data) -> Data:
     qacc = sol["qacc"]  # (nv, E)
     qacc_pl = [qacc[i] for i in range(nv)]
 
-    # implicit-in-damping velocity update
-    Mu = k["qM"]
-    Mh = dict(Mu)
+    # implicit-in-damping velocity update, dense env-last (see the
+    # Cholesky note in _forward_core)
+    from mjlab_tpu.phys.lm.solver import _chol_solve_envlast
+
+    M_dense = k["qM_dense"]  # (nv, nv, E)
+    diag_add = [None] * nv
+    use_implicit = True
     if m.opt.integrator == INT_EULER:
         if not (m.opt.disableflags & DSBL_EULERDAMP):
             for i in range(nv):
-                Mh[(i, i)] = Mh[(i, i)] + h * P.plane("dof_damping", i)
+                diag_add[i] = h * P.plane("dof_damping", i)
         else:
-            Mh = None
+            use_implicit = False
     elif m.opt.integrator == INT_IMPLICITFAST:
         for i in range(nv):
-            Mh[(i, i)] = Mh[(i, i)] + h * P.plane("dof_damping", i)
+            diag_add[i] = h * P.plane("dof_damping", i)
         if m.nu:
             ctrl = _planes(d.ctrl)
             dfdv = _actuator_vel_deriv_planes(
@@ -286,16 +293,18 @@ def step_lm(m: Model, bf: frozenset, d: Data) -> Data:
                 j = int(m.actuator_trnid[u, 0])
                 vadr = int(m.jnt_dofadr[j])
                 gear = P.plane("actuator_gear", u, 0)
-                Mh[(vadr, vadr)] = Mh[(vadr, vadr)] - h * dfdv[u] * gear * gear
+                diag_add[vadr] = diag_add[vadr] - h * dfdv[u] * gear * gear
     else:
         raise NotImplementedError(f"integrator {m.opt.integrator}")
 
-    if Mh is not None:
-        from mjlab_tpu.phys.lm.smooth import mat_vec_planes
-
-        Ma = mat_vec_planes(Mu, qacc_pl, nv)
-        Lh = chol_planes(Mh, nv)
-        qacc_int = chol_solve_planes(Lh, Ma, nv)
+    if use_implicit:
+        add = jnp.stack(
+            [jnp.broadcast_to(x, (E,)) for x in diag_add]
+        )  # (nv, E)
+        Mh_dense = M_dense + jnp.eye(nv, dtype=dtype)[:, :, None] * add[:, None, :]
+        Ma = jnp.einsum("ije,je->ie", M_dense, qacc)
+        qacc_int_arr = _chol_solve_envlast(Mh_dense, Ma, nv)
+        qacc_int = [qacc_int_arr[i] for i in range(nv)]
     else:
         qacc_int = qacc_pl
 
