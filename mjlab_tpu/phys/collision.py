@@ -40,6 +40,7 @@ _PAIR_NCON = {
     (GEOM_PLANE, GEOM_SPHERE): 1,
     (GEOM_PLANE, GEOM_CAPSULE): 2,
     (GEOM_PLANE, GEOM_BOX): 4,
+    (GEOM_PLANE, GEOM_MESH): 3,
     (GEOM_PLANE, GEOM_CYLINDER): 4,
     (GEOM_PLANE, GEOM_ELLIPSOID): 1,
     (GEOM_SPHERE, GEOM_CYLINDER): 1,
@@ -821,6 +822,81 @@ _HFIELD_NARROWPHASE = {
 }
 
 
+def _plane_mesh(m, g2, xpos1, xmat1, xpos2, xmat2, margin):
+    """Plane vs convex mesh hull, vectorized over the pair group (P,).
+
+    Up to 3 contacts: deepest hull vertex, the farthest below-margin
+    vertex from it, and the below-margin vertex farthest from the line
+    through those two (max spread). CPU MuJoCo's mjc_PlaneConvex emits an
+    equivalent support triangle; exact vertex choice can differ only in
+    degenerate flat-rest ties where several supports are equally deep —
+    the reference's own engine (mujoco_warp plane-convex) deviates from
+    the C engine the same way. Gated by force-balance and drift tests in
+    tests/test_phys_mesh.py.
+    """
+    dtype = xpos1.dtype
+    mesh_id = m.geom_dataid[g2]  # static numpy (P,)
+    verts_l = jnp.asarray(m.mesh_hull_vert[mesh_id], dtype)  # (P, V, 3)
+    vmask = jnp.asarray(m.mesh_hull_mask[mesh_id])  # (P, V)
+    n = xmat1[..., :, 2]  # (P, 3) plane normal (z column)
+    vw = xpos2[:, None, :] + jnp.einsum("pij,pvj->pvi", xmat2, verts_l)
+    dist = jnp.einsum("pi,pvi->pv", n, vw - xpos1[:, None, :])
+    BIG = jnp.asarray(1e10, dtype)
+    dist = jnp.where(vmask, dist, BIG)
+    below = dist < margin[:, None]
+
+    def take_v(idx):
+        return jnp.take_along_axis(vw, idx[:, None, None], axis=1)[:, 0]
+
+    def take_d(idx):
+        return jnp.take_along_axis(dist, idx[:, None], axis=1)[:, 0]
+
+    i1 = jnp.argmin(dist, axis=1)
+    v1, d1 = take_v(i1), take_d(i1)
+
+    # farthest below-margin vertex from v1 (dup of i1 when none other)
+    dd2 = jnp.where(below, jnp.sum((vw - v1[:, None, :]) ** 2, -1), -1.0)
+    i2 = jnp.argmax(dd2, axis=1)
+    v2, d2 = take_v(i2), take_d(i2)
+    ok2 = (i2 != i1) & (jnp.take_along_axis(dd2, i2[:, None], 1)[:, 0] > 0)
+
+    # below-margin vertex farthest from the line v1-v2
+    e = v2 - v1
+    elen2 = jnp.maximum(jnp.sum(e * e, -1), 1e-12)
+    w = vw - v1[:, None, :]
+    t = jnp.sum(w * e[:, None, :], -1) / elen2[:, None]
+    perp = w - t[..., None] * e[:, None, :]
+    dd3 = jnp.where(below, jnp.sum(perp * perp, -1), -1.0)
+    i3 = jnp.argmax(dd3, axis=1)
+    v3, d3 = take_v(i3), take_d(i3)
+    ok3 = (
+        ok2
+        & (i3 != i1)
+        & (i3 != i2)
+        & (jnp.take_along_axis(dd3, i3[:, None], 1)[:, 0] > 1e-12)
+    )
+
+    d2 = jnp.where(ok2, d2, BIG)
+    d3 = jnp.where(ok3, d3, BIG)
+    dists = jnp.stack([d1, d2, d3], axis=1)  # (P, 3)
+    # midpoint between vertex and plane; inactive slots keep the raw
+    # vertex position (a BIG offset would overflow f32 downstream)
+    off = jnp.where(dists < BIG, dists, 0.0)
+    poss = (
+        jnp.stack([v1, v2, v3], axis=1)
+        - 0.5 * off[..., None] * n[:, None, :]
+    )
+    frames = jnp.broadcast_to(
+        make_frame(n)[:, None], (n.shape[0], 3, 3, 3)
+    )
+    return dists, poss, frames
+
+
+_MESH_NARROWPHASE = {
+    GEOM_PLANE: _plane_mesh,
+}
+
+
 _NARROWPHASE = {
     (GEOM_PLANE, GEOM_SPHERE): _plane_sphere,
     (GEOM_PLANE, GEOM_CAPSULE): _plane_capsule,
@@ -870,6 +946,14 @@ def collision(m, d):
                 m,
                 d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
                 d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+            )
+        elif key[1] == GEOM_MESH:
+            fn = _MESH_NARROWPHASE[key[0]]
+            dd, pp, nn = fn(
+                m, g2,
+                d.geom_xpos[g1], d.geom_xmat[g1],
+                d.geom_xpos[g2], d.geom_xmat[g2],
+                margin[pidx],
             )
         else:
             fn = _NARROWPHASE[key]

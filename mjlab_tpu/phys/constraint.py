@@ -6,7 +6,9 @@ Static row layout (computed in put_model):
   [0, nv)                 dof friction rows (always allocated; active iff
                           dof_frictionloss > 0 — DR-friendly)
   [nv, nv+nlimit)         joint limit rows (one per limited hinge/slide)
-  [nv+nlimit, nefc)       contact rows per COMPACTED slot: 2*(condim-1)
+  [.., +nlimit_ten)       tendon limit rows (one per limited fixed tendon;
+                          J = signed static coefficient row)
+  [.., nefc)              contact rows per COMPACTED slot: 2*(condim-1)
                           pyramid rows, or condim direct rows (elliptic)
 
 Contact compaction (TPU-native nconmax): the narrowphase evaluates every
@@ -188,7 +190,7 @@ def make_constraint(m: Model, d: Data) -> Data:
         act_b.append(jnp.asarray(m.dof_frictionloss > 0))
 
     # ---- joint limit rows — J block = one signed entry at static vadr ----
-    lim_side = jnp.zeros((nlimit,), dtype)
+    lim_side_jnt = jnp.zeros((nlimit,), dtype)
     if nlimit:
         jids = m.limit_jntid  # static numpy
         ok = np.isin(m.jnt_type[jids], (JNT_HINGE, JNT_SLIDE))
@@ -208,7 +210,7 @@ def make_constraint(m: Model, d: Data) -> Data:
             m.jnt_solref[jids], m.jnt_solimp[jids], pos, m.dof_invweight0[vadr]
         )
         act_lim = (dist < margin) & jnp.asarray(ok)
-        lim_side = jnp.where(act_lim, side, 0.0)
+        lim_side_jnt = jnp.where(act_lim, side, 0.0)
         vel = side * d.qvel[vadr]
         D_b.append(Dl)
         aref_b.append(-b * vel - k * imp * pos)
@@ -216,6 +218,37 @@ def make_constraint(m: Model, d: Data) -> Data:
         margin_b.append(jnp.broadcast_to(jnp.asarray(margin, dtype), dist.shape))
         fl_b.append(jnp.zeros((nlimit,), dtype))
         act_b.append(act_lim)
+
+    # ---- tendon limit rows — J block = signed static coefficient row ----
+    lim_side_ten = jnp.zeros((m.nlimit_ten,), dtype)
+    if m.nlimit_ten:
+        tid = m.limit_tenid  # static numpy
+        L = d.ten_length[tid]
+        lo_t = m.tendon_range[tid, 0]
+        hi_t = m.tendon_range[tid, 1]
+        dist_lo = L - lo_t
+        dist_hi = hi_t - L
+        lower = dist_lo < dist_hi
+        dist = jnp.minimum(dist_lo, dist_hi)
+        side = jnp.where(lower, 1.0, -1.0).astype(dtype)
+        margin = m.tendon_margin[tid]
+        pos = dist - margin
+        imp, k, b, Dt = _efc_kbid(
+            m.tendon_solref_lim[tid],
+            m.tendon_solimp_lim[tid],
+            pos,
+            m.tendon_invweight0[tid],
+        )
+        act_lim = dist < margin
+        lim_side_ten = jnp.where(act_lim, side, 0.0)
+        vel = side * d.ten_velocity[tid]
+        D_b.append(Dt)
+        aref_b.append(-b * vel - k * imp * pos)
+        pos_b.append(dist)
+        margin_b.append(jnp.broadcast_to(jnp.asarray(margin, dtype), dist.shape))
+        fl_b.append(jnp.zeros((m.nlimit_ten,), dtype))
+        act_b.append(act_lim)
+    lim_side = jnp.concatenate([lim_side_jnt, lim_side_ten])
 
     # ---- contact rows: top-K compaction — dense block efc_Jc ----
     pt = m.pairs

@@ -68,6 +68,8 @@ class Data:
     qpos: jax.Array  # (nq,)
     qvel: jax.Array  # (nv,)
     ctrl: jax.Array  # (nu,)
+    act: jax.Array  # (na,) actuator activation states
+    act_dot: jax.Array  # (na,)
     qfrc_applied: jax.Array  # (nv,)
     xfrc_applied: jax.Array  # (nbody, 6) [torque? mujoco: (force(3), torque(3))]
     mocap_pos: jax.Array  # (nmocap, 3)
@@ -100,6 +102,10 @@ class Data:
     qfrc_bias: jax.Array  # (nv,)
     qfrc_passive: jax.Array  # (nv,)
 
+    # ----- tendons (fixed; lengths/velocities of the static coef rows) -----
+    ten_length: jax.Array  # (ntendon,)
+    ten_velocity: jax.Array  # (ntendon,)
+
     # ----- actuation -----
     actuator_length: jax.Array  # (nu,)
     actuator_velocity: jax.Array  # (nu,)
@@ -117,7 +123,7 @@ class Data:
     # only the equality and contact blocks are materialized. This keeps
     # the solver's matvecs/Hessian on the dense contact block only.
     efc_Jeq: jax.Array  # (neq_jnt, nv)
-    efc_lim_side: jax.Array  # (nlimit,) +-1 active side, 0 if inactive
+    efc_lim_side: jax.Array  # (nlimit+nlimit_ten,) +-1 active side, 0 inactive
     efc_Jc: jax.Array  # (ncon_max * rows_per_con, nv)
     efc_D: jax.Array  # (nefc,)
     efc_aref: jax.Array  # (nefc,)
@@ -157,6 +163,8 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         qpos=jnp.asarray(m.qpos0, dtype),
         qvel=z(m.nv),
         ctrl=z(m.nu),
+        act=z(m.na),
+        act_dot=z(m.na),
         qfrc_applied=z(m.nv),
         xfrc_applied=z(m.nbody, 6),
         mocap_pos=z(m.nmocap, 3),
@@ -198,6 +206,8 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         cdof_dot=z(m.nv, 6),
         qfrc_bias=z(m.nv),
         qfrc_passive=z(m.nv),
+        ten_length=z(m.ntendon),
+        ten_velocity=z(m.ntendon),
         actuator_length=z(m.nu),
         actuator_velocity=z(m.nu),
         actuator_moment=z(m.nu, m.nv),
@@ -206,7 +216,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         qfrc_smooth=z(m.nv),
         qacc_smooth=z(m.nv),
         efc_Jeq=z(m.neq_jnt, m.nv),
-        efc_lim_side=z(m.nlimit),
+        efc_lim_side=z(m.nlimit + m.nlimit_ten),
         efc_Jc=z(m.ncon_max * m.rows_per_con, m.nv),
         efc_D=z(m.nefc),
         efc_aref=z(m.nefc),
@@ -236,6 +246,7 @@ def put_data(m: Model, d_mj: mujoco.MjData, dtype=jnp.float32) -> Data:
         qpos=jnp.asarray(np.array(d_mj.qpos), dtype),
         qvel=jnp.asarray(np.array(d_mj.qvel), dtype),
         ctrl=jnp.asarray(np.array(d_mj.ctrl), dtype),
+        act=jnp.asarray(np.array(d_mj.act), dtype),
         qfrc_applied=jnp.asarray(np.array(d_mj.qfrc_applied), dtype),
         xfrc_applied=jnp.asarray(np.array(d_mj.xfrc_applied), dtype),
         mocap_pos=jnp.asarray(np.array(d_mj.mocap_pos).reshape(m.nmocap, 3), dtype),

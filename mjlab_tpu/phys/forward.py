@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from mjlab_tpu.phys import math
 from mjlab_tpu.phys.model import (
     DSBL_EULERDAMP,
+    DYN_FILTEREXACT,
     INT_EULER,
     INT_IMPLICITFAST,
     JNT_BALL,
@@ -36,6 +37,7 @@ def fwd_position(m: Model, d: Data) -> Data:
     d = com_pos(m, d)
     d = smooth.crb(m, d)
     d = collision(m, d)
+    d = smooth.tendon(m, d)
     d = smooth.transmission(m, d)
     d = make_constraint(m, d)
     return d
@@ -82,7 +84,8 @@ def _actuator_vel_deriv(m: Model, d: Data) -> jax.Array:
     affine_bias = jnp.asarray(m.actuator_biastype == 1)
     dfdv = jnp.where(affine_bias, m.actuator_biasprm[:, 2], dfdv)
     affine_gain = jnp.asarray(m.actuator_gaintype == 1)
-    dfdv = dfdv + jnp.where(affine_gain, m.actuator_gainprm[:, 2] * d.ctrl, 0.0)
+    inp, _ = smooth.actuation_input(m, d)
+    dfdv = dfdv + jnp.where(affine_gain, m.actuator_gainprm[:, 2] * inp, 0.0)
     limited = jnp.asarray(m.actuator_forcelimited.astype(bool))
     saturated = limited & (
         (d.actuator_force <= m.actuator_forcerange[:, 0])
@@ -127,6 +130,11 @@ def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
     """(M - h dF/dv) a' = M a with dF/dv = -diag(damping) + moment^T G moment."""
     h = m.opt.timestep
     Mh = d.qM + h * jnp.diag(m.dof_damping)
+    if m.ntendon:
+        # tendon damping enters qDeriv in implicitfast (mjd_smooth_vel):
+        # dF/dv += -ten_J^T diag(c) ten_J
+        Jt = jnp.asarray(m.ten_J, d.qpos.dtype)
+        Mh = Mh + h * (Jt.T * m.tendon_damping) @ Jt
     if m.nu:
         dfdv = _actuator_vel_deriv(m, d)
         Mh = Mh - h * (d.actuator_moment.T * dfdv) @ d.actuator_moment
@@ -146,6 +154,18 @@ def step(m: Model, d: Data) -> Data:
         raise NotImplementedError(f"integrator {m.opt.integrator}")
     qvel = d.qvel + h * qacc_int
     qpos = _integrate_pos(m, d.qpos, qvel, h)
+    # advance activation states (mj_advance: Euler, exact for filterexact)
+    if m.na:
+        aid = m.act_actuatorid  # static
+        tau_a = jnp.maximum(m.actuator_dynprm[aid, 0], 1e-15)
+        fexact = jnp.asarray(m.actuator_dyntype[aid] == DYN_FILTEREXACT)
+        act = d.act + h * d.act_dot
+        act = jnp.where(fexact, d.act - d.act_dot * tau_a * jnp.expm1(-h / tau_a), act)
+        alim = jnp.asarray(m.actuator_actlimited[aid].astype(bool))
+        rng = m.actuator_actrange[aid]
+        act = jnp.where(alim, jnp.clip(act, rng[:, 0], rng[:, 1]), act)
+    else:
+        act = d.act
     # mj_checkPos/Vel/Acc parity (engine_forward.c): a diverged world
     # (non-finite or |.| > mjMAXVAL) resets to qpos0 with zero velocity
     # instead of propagating garbage. Per-world, masked, f32-critical.
@@ -154,14 +174,16 @@ def step(m: Model, d: Data) -> Data:
         ~jnp.isfinite(qpos).all()
         | ~jnp.isfinite(qvel).all()
         | ~jnp.isfinite(qacc_int).all()
+        | ~jnp.isfinite(act).all()
         | (jnp.max(jnp.abs(qpos)) > MAXVAL)
         | (jnp.max(jnp.abs(qvel)) > MAXVAL)
         | (jnp.max(jnp.abs(qacc_int)) > MAXVAL)
     )
     qpos = jnp.where(bad, jnp.asarray(m.qpos0, qpos.dtype), qpos)
     qvel = jnp.where(bad, 0.0, qvel)
+    act = jnp.where(bad, 0.0, act)
     d = d.replace(qacc_warmstart=jnp.where(bad, 0.0, d.qacc_warmstart))
     return d.replace(
-        qpos=qpos, qvel=qvel, time=d.time + h,
+        qpos=qpos, qvel=qvel, act=act, time=d.time + h,
         ncheck_reset=d.ncheck_reset + bad.astype(jnp.int32),
     )

@@ -71,6 +71,13 @@ def _qM_dense(Mu, nv, E, dtype):
 
 
 def _forward_core(m: Model, bf: frozenset, d: Data):
+    if m.ntendon or m.na:
+        # the lane-major engine predates tendons/activation dynamics;
+        # fail loudly rather than silently diverge from phys/forward
+        raise NotImplementedError(
+            "lane-major engine does not support tendons or stateful "
+            "actuators yet — use the vmapped engine (phys/forward.py)"
+        )
     dtype = d.qpos.dtype
     E = d.qpos.shape[0]
     P = Params(m, bf, E)

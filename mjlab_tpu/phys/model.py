@@ -37,11 +37,18 @@ INT_EULER, INT_RK4, INT_IMPLICIT, INT_IMPLICITFAST = 0, 1, 2, 3
 # Cones
 CONE_PYRAMIDAL, CONE_ELLIPTIC = 0, 1
 
+# Actuator activation dynamics (match mujoco.mjtDyn)
+DYN_NONE, DYN_INTEGRATOR, DYN_FILTER, DYN_FILTEREXACT = 0, 1, 2, 3
+
 # efc row types (our layout, not mujoco's enum)
 EFC_FRICTION_DOF = 0
 EFC_LIMIT_JOINT = 1
 EFC_CONTACT = 2
 EFC_EQUALITY = 3
+EFC_LIMIT_TENDON = 4
+
+# Transmission types (match mujoco.mjtTrn)
+TRN_JOINT, TRN_JOINTINPARENT, TRN_SLIDERCRANK, TRN_TENDON, TRN_SITE = 0, 1, 2, 3, 4
 
 
 @pytree
@@ -137,6 +144,13 @@ class Model:
     hfield_nrow: Static[int]
     hfield_ncol: Static[int]
 
+    # convex mesh hulls for the mesh narrowphase: vertices of each mesh's
+    # qhull graph when present (else all verts), padded to the model-wide
+    # max. Static numpy — per-vertex DR has no reference analog.
+    nmesh: Static[int]
+    mesh_hull_vert: Static[np.ndarray]  # (nmesh, Vmax, 3)
+    mesh_hull_mask: Static[np.ndarray]  # (nmesh, Vmax) bool
+
     site_bodyid: Static[np.ndarray]
 
     actuator_trntype: Static[np.ndarray]
@@ -145,10 +159,29 @@ class Model:
     actuator_trnid: Static[np.ndarray]  # (nu, 2)
     actuator_ctrllimited: Static[np.ndarray]
     actuator_forcelimited: Static[np.ndarray]
+    # activation dynamics (mjtDyn integrator/filter/filterexact; muscle
+    # and plugin dyntypes are rejected at load)
+    na: Static[int]  # total activation states
+    actuator_dyntype: Static[np.ndarray]  # (nu,)
+    actuator_actadr: Static[np.ndarray]  # (nu,) act slot, -1 stateless
+    actuator_actlimited: Static[np.ndarray]  # (nu,)
+    actuator_actearly: Static[np.ndarray]  # (nu,)
+    act_actuatorid: Static[np.ndarray]  # (na,) owning actuator per slot
 
-    # constraint layout: [equality][dof friction][limits][contacts]
+    # fixed tendons (linear joint couplings; spatial tendons rejected at
+    # load). The coefficient rows are STATIC — a fixed tendon's Jacobian
+    # does not depend on state (mj_tendon, engine_core_smooth.c), so both
+    # matrices live as numpy aux data and fold into compile-time constants.
+    ntendon: Static[int]
+    ten_J: Static[np.ndarray]  # (ntendon, nv) dof coefficient rows
+    ten_Lq: Static[np.ndarray]  # (ntendon, nq) qpos coefficient rows
+    tendon_names: Static[tuple]
+
+    # constraint layout: [equality][dof friction][jnt limits][ten limits][contacts]
     nefc: Static[int]
     nlimit: Static[int]
+    nlimit_ten: Static[int]
+    limit_tenid: Static[np.ndarray]  # (nlimit_ten,) tendon ids with limits
     ncon_max: Static[int]
     rows_per_con: Static[int]  # 2*(max condim - 1) pyramidal rows per slot
     limit_jntid: Static[np.ndarray]  # (nlimit,) joint ids with limits
@@ -215,8 +248,30 @@ class Model:
     actuator_ctrlrange: jax.Array
     actuator_forcerange: jax.Array
     actuator_gear: jax.Array
+    actuator_dynprm: jax.Array  # (nu, 10) (dynprm[0] = filter tau)
+    actuator_actrange: jax.Array  # (nu, 2)
+    tendon_range: jax.Array  # (ntendon, 2)
+    tendon_solref_lim: jax.Array  # (ntendon, 2)
+    tendon_solimp_lim: jax.Array  # (ntendon, 5)
+    tendon_margin: jax.Array  # (ntendon,)
+    tendon_stiffness: jax.Array  # (ntendon,)
+    tendon_damping: jax.Array  # (ntendon,)
+    tendon_lengthspring: jax.Array  # (ntendon, 2) deadband [lo, hi]
+    tendon_invweight0: jax.Array  # (ntendon,)
 
     opt: Option
+
+
+def limit_rows_static(m: Model) -> np.ndarray:
+    """Static ((nlimit + nlimit_ten), nv) limit-row Jacobian pattern:
+    one-hot rows for joint limits, fixed-tendon coefficient rows for
+    tendon limits. Signs are applied at runtime via efc_lim_side."""
+    P = np.zeros((m.nlimit + m.nlimit_ten, m.nv))
+    if m.nlimit:
+        P[np.arange(m.nlimit), m.jnt_dofadr[m.limit_jntid]] = 1.0
+    if m.nlimit_ten:
+        P[m.nlimit :] = m.ten_J[m.limit_tenid]
+    return P
 
 
 def _names(mj: mujoco.MjModel, objtype, n) -> tuple:
@@ -237,14 +292,27 @@ def put_model(
     from mjlab_tpu.phys.collision import make_pair_table
 
     if mj.ntendon:
-        raise NotImplementedError("tendons not yet supported")
+        WRAP_JOINT = int(mujoco.mjtWrap.mjWRAP_JOINT)
+        if set(mj.wrap_type.tolist()) - {WRAP_JOINT}:
+            raise NotImplementedError(
+                "spatial tendons (site/geom wraps) not yet supported"
+            )
+        if np.any(mj.tendon_frictionloss > 0):
+            raise NotImplementedError("tendon frictionloss not yet supported")
+        if hasattr(mj, "tendon_armature") and np.any(mj.tendon_armature > 0):
+            raise NotImplementedError("tendon armature not yet supported")
     eq_types = set(mj.eq_type.tolist()) if mj.neq else set()
     if eq_types - {int(mujoco.mjtEq.mjEQ_JOINT)}:
         raise NotImplementedError(
             f"only joint equality constraints supported, got {eq_types}"
         )
-    if np.any(mj.actuator_actnum > 0) if hasattr(mj, "actuator_actnum") else mj.na:
-        raise NotImplementedError("actuator activation dynamics not yet supported")
+    dyn_types = set(mj.actuator_dyntype.tolist()) if mj.nu else set()
+    if dyn_types - {DYN_NONE, DYN_INTEGRATOR, DYN_FILTER, DYN_FILTEREXACT}:
+        raise NotImplementedError(
+            f"actuator dyntype {dyn_types} (muscle/user/plugin) not supported"
+        )
+    if mj.nu and np.any(mj.actuator_actnum > 1):
+        raise NotImplementedError("actuators with actnum > 1 not supported")
     unsupported_jnt = set(mj.jnt_type.tolist()) - {JNT_FREE, JNT_BALL, JNT_SLIDE, JNT_HINGE}
     if unsupported_jnt:
         raise NotImplementedError(f"joint types {unsupported_jnt}")
@@ -269,6 +337,55 @@ def put_model(
     )
 
     pairs = make_pair_table(mj)
+
+    # act slot -> owning actuator (actnum is 1 for supported dyntypes)
+    act_actuatorid = np.zeros(int(mj.na), np.int32)
+    for u in range(mj.nu):
+        if mj.actuator_actnum[u] > 0:
+            act_actuatorid[int(mj.actuator_actadr[u])] = u
+
+    # fixed-tendon coefficient rows (static; see Model docstring)
+    ntendon = int(mj.ntendon)
+    ten_J = np.zeros((ntendon, mj.nv))
+    ten_Lq = np.zeros((ntendon, mj.nq))
+    for t in range(ntendon):
+        adr, num = int(mj.tendon_adr[t]), int(mj.tendon_num[t])
+        for w in range(adr, adr + num):
+            j = int(mj.wrap_objid[w])
+            coef = float(mj.wrap_prm[w])
+            ten_J[t, int(mj.jnt_dofadr[j])] += coef
+            ten_Lq[t, int(mj.jnt_qposadr[j])] += coef
+    limit_tenid = (
+        np.nonzero(mj.tendon_limited)[0].astype(np.int32)
+        if ntendon
+        else np.zeros(0, np.int32)
+    )
+    nlimit_ten = len(limit_tenid)
+
+    # convex hull vertices per mesh (qhull graph verts when present)
+    nmesh = int(mj.nmesh)
+    if nmesh:
+        hulls = []
+        for i in range(nmesh):
+            va, vn = int(mj.mesh_vertadr[i]), int(mj.mesh_vertnum[i])
+            verts = np.asarray(mj.mesh_vert[va : va + vn], np.float64)
+            ga = int(mj.mesh_graphadr[i])
+            if ga >= 0:
+                g = mj.mesh_graph
+                numvert = int(g[ga])
+                vgid = np.asarray(g[ga + 2 + numvert : ga + 2 + 2 * numvert])
+                verts = verts[vgid]
+            hulls.append(verts)
+        vmax = max(len(h) for h in hulls)
+        mesh_hull_vert = np.zeros((nmesh, vmax, 3))
+        mesh_hull_mask = np.zeros((nmesh, vmax), bool)
+        for i, h in enumerate(hulls):
+            mesh_hull_vert[i, : len(h)] = h
+            mesh_hull_vert[i, len(h) :] = h[0]
+            mesh_hull_mask[i, : len(h)] = True
+    else:
+        mesh_hull_vert = np.zeros((0, 1, 3))
+        mesh_hull_mask = np.zeros((0, 1), bool)
 
     # --- constraint row layout (static) ---
     # order: [dof friction (nv)] [joint limits] [4 rows per compacted contact]
@@ -309,11 +426,12 @@ def put_model(
         eq_solref_np = np.zeros((0, 2))
         eq_solimp_np = np.zeros((0, 5))
 
-    nefc = neq_jnt + mj.nv + nlimit + rows_per_con * ncon_max
+    nefc = neq_jnt + mj.nv + nlimit + nlimit_ten + rows_per_con * ncon_max
     efc_type = np.concatenate([
         np.full(neq_jnt, EFC_EQUALITY, np.int32),
         np.full(mj.nv, EFC_FRICTION_DOF, np.int32),
         np.full(nlimit, EFC_LIMIT_JOINT, np.int32),
+        np.full(nlimit_ten, EFC_LIMIT_TENDON, np.int32),
         np.full(rows_per_con * ncon_max, EFC_CONTACT, np.int32),
     ])
 
@@ -342,6 +460,9 @@ def put_model(
         nhfield=int(mj.nhfield),
         hfield_nrow=int(mj.hfield_nrow[0]) if mj.nhfield else 0,
         hfield_ncol=int(mj.hfield_ncol[0]) if mj.nhfield else 0,
+        nmesh=nmesh,
+        mesh_hull_vert=mesh_hull_vert,
+        mesh_hull_mask=mesh_hull_mask,
         site_bodyid=mj.site_bodyid.astype(np.int32),
         actuator_trntype=mj.actuator_trntype.astype(np.int32),
         actuator_gaintype=mj.actuator_gaintype.astype(np.int32),
@@ -349,8 +470,20 @@ def put_model(
         actuator_trnid=mj.actuator_trnid.astype(np.int32).reshape(mj.nu, 2),
         actuator_ctrllimited=mj.actuator_ctrllimited.astype(np.int32),
         actuator_forcelimited=mj.actuator_forcelimited.astype(np.int32),
+        na=int(mj.na),
+        actuator_dyntype=mj.actuator_dyntype.astype(np.int32),
+        actuator_actadr=mj.actuator_actadr.astype(np.int32),
+        actuator_actlimited=mj.actuator_actlimited.astype(np.int32),
+        actuator_actearly=mj.actuator_actearly.astype(np.int32),
+        act_actuatorid=act_actuatorid,
+        ntendon=ntendon,
+        ten_J=ten_J,
+        ten_Lq=ten_Lq,
+        tendon_names=_names(mj, mujoco.mjtObj.mjOBJ_TENDON, ntendon),
         nefc=nefc,
         nlimit=nlimit,
+        nlimit_ten=nlimit_ten,
+        limit_tenid=limit_tenid,
         ncon_max=ncon_max,
         rows_per_con=rows_per_con,
         limit_jntid=limit_jntid,
@@ -415,5 +548,15 @@ def put_model(
         actuator_ctrlrange=f(mj.actuator_ctrlrange),
         actuator_forcerange=f(mj.actuator_forcerange),
         actuator_gear=f(mj.actuator_gear),
+        actuator_dynprm=f(mj.actuator_dynprm),
+        actuator_actrange=f(mj.actuator_actrange),
+        tendon_range=f(mj.tendon_range.reshape(ntendon, 2)),
+        tendon_solref_lim=f(mj.tendon_solref_lim.reshape(ntendon, 2)),
+        tendon_solimp_lim=f(mj.tendon_solimp_lim.reshape(ntendon, 5)),
+        tendon_margin=f(mj.tendon_margin.reshape(ntendon)),
+        tendon_stiffness=f(mj.tendon_stiffness.reshape(ntendon)),
+        tendon_damping=f(mj.tendon_damping.reshape(ntendon)),
+        tendon_lengthspring=f(mj.tendon_lengthspring.reshape(ntendon, 2)),
+        tendon_invweight0=f(mj.tendon_invweight0.reshape(ntendon)),
         opt=opt,
     )

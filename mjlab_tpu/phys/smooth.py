@@ -17,12 +17,16 @@ import numpy as np
 
 from mjlab_tpu.phys import math
 from mjlab_tpu.phys.model import (
+    DYN_FILTEREXACT,
+    DYN_INTEGRATOR,
     JNT_BALL,
     JNT_FREE,
     JNT_HINGE,
     JNT_SLIDE,
     Model,
     DSBL_GRAVITY,
+    TRN_JOINT,
+    TRN_TENDON,
 )
 from mjlab_tpu.phys.data import Data
 from mjlab_tpu.phys import linalg
@@ -188,10 +192,33 @@ def rne(m: Model, d: Data) -> Data:
     return d.replace(qfrc_bias=qfrc_bias)
 
 
+def tendon(m: Model, d: Data) -> Data:
+    """Fixed-tendon lengths and velocities (mj_tendon semantics).
+
+    The coefficient rows are static, so this is two tiny matvecs."""
+    if not m.ntendon:
+        return d
+    dtype = d.qpos.dtype
+    Lq = jnp.asarray(m.ten_Lq, dtype)
+    Jt = jnp.asarray(m.ten_J, dtype)
+    return d.replace(ten_length=Lq @ d.qpos, ten_velocity=Jt @ d.qvel)
+
+
 def passive(m: Model, d: Data) -> Data:
     """Passive spring/damper forces (fluid forces unsupported)."""
     dtype = d.qpos.dtype
     qfrc = -m.dof_damping * d.qvel
+
+    # tendon springs (deadband [lo, hi]) and dampers through the static
+    # coefficient rows (mj_passive, engine_passive.c)
+    if m.ntendon:
+        Jt = jnp.asarray(m.ten_J, dtype)
+        L = d.ten_length
+        lo = m.tendon_lengthspring[:, 0]
+        hi = m.tendon_lengthspring[:, 1]
+        disp = jnp.where(L > hi, L - hi, jnp.where(L < lo, L - lo, 0.0))
+        frc = -m.tendon_stiffness * disp - m.tendon_damping * d.ten_velocity
+        qfrc = qfrc + Jt.T @ frc
 
     # joint springs
     if m.njnt:
@@ -223,18 +250,24 @@ def passive(m: Model, d: Data) -> Data:
 
 
 def _moment(m: Model) -> np.ndarray:
-    """Static (nu, nv) selector: joint-transmission moment / gear pattern.
+    """Static (nu, nv) selector: joint/tendon transmission moment pattern.
 
-    Only trntype=JOINT on hinge/slide joints is supported (all robots in the
-    asset zoo use this)."""
+    trntype=JOINT on hinge/slide joints and trntype=TENDON (fixed tendons:
+    the coefficient row is static) are supported."""
     sel = np.zeros((m.nu, m.nv), np.float64)
     for u in range(m.nu):
-        if int(m.actuator_trntype[u]) != 0:  # mjTRN_JOINT
-            raise NotImplementedError("only joint transmissions supported")
-        j = int(m.actuator_trnid[u, 0])
-        if int(m.jnt_type[j]) not in (JNT_HINGE, JNT_SLIDE):
-            raise NotImplementedError("actuated free/ball joints unsupported")
-        sel[u, int(m.jnt_dofadr[j])] = 1.0
+        trn = int(m.actuator_trntype[u])
+        if trn == TRN_JOINT:
+            j = int(m.actuator_trnid[u, 0])
+            if int(m.jnt_type[j]) not in (JNT_HINGE, JNT_SLIDE):
+                raise NotImplementedError("actuated free/ball joints unsupported")
+            sel[u, int(m.jnt_dofadr[j])] = 1.0
+        elif trn == TRN_TENDON:
+            sel[u] = m.ten_J[int(m.actuator_trnid[u, 0])]
+        else:
+            raise NotImplementedError(
+                "only joint/tendon transmissions supported"
+            )
     return sel
 
 
@@ -245,25 +278,75 @@ def transmission(m: Model, d: Data) -> Data:
     sel = jnp.asarray(_moment(m), d.qpos.dtype)
     gear = m.actuator_gear[:, 0]
     moment = sel * gear[:, None]
+    trnid = np.array([int(m.actuator_trnid[u, 0]) for u in range(m.nu)], np.int32)
+    is_ten = m.actuator_trntype == TRN_TENDON  # static numpy
     qadr = np.array(
-        [int(m.jnt_qposadr[int(m.actuator_trnid[u, 0])]) for u in range(m.nu)],
+        [
+            0 if is_ten[u] else int(m.jnt_qposadr[trnid[u]])
+            for u in range(m.nu)
+        ],
         np.int32,
     )
-    length = d.qpos[qadr] * gear
+    length = d.qpos[qadr]
+    if m.ntendon and is_ten.any():
+        tid = np.where(is_ten, trnid, 0).astype(np.int32)
+        length = jnp.where(jnp.asarray(is_ten), d.ten_length[tid], length)
+    length = length * gear
     return d.replace(actuator_moment=moment, actuator_length=length)
 
 
+def _clamped_ctrl(m: Model, d: Data) -> jax.Array:
+    limited = jnp.asarray(m.actuator_ctrllimited.astype(bool))
+    return jnp.where(
+        limited,
+        jnp.clip(d.ctrl, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]),
+        d.ctrl,
+    )
+
+
+def actuation_input(m: Model, d: Data) -> tuple[jax.Array, jax.Array]:
+    """(force input per actuator, act_dot per act slot).
+
+    Activation dynamics per mj_fwdActuation (engine_forward.c): stateful
+    actuators drive force from their activation state (or the NEXT state
+    when actearly), with act_dot integrator: ctrl / filter(+exact):
+    (ctrl - act)/tau."""
+    ctrl = _clamped_ctrl(m, d)
+    if not m.na:
+        return ctrl, d.act_dot
+    dyn = m.actuator_dyntype  # static numpy
+    adr = np.maximum(m.actuator_actadr, 0)  # static; -1 (stateless) -> 0
+    act_u = d.act[adr]
+    tau = jnp.maximum(m.actuator_dynprm[:, 0], 1e-15)
+    stateful = jnp.asarray(dyn > 0)
+    adot_u = jnp.where(jnp.asarray(dyn == DYN_INTEGRATOR), ctrl, (ctrl - act_u) / tau)
+    adot_u = jnp.where(stateful, adot_u, 0.0)
+    h = m.opt.timestep
+    nxt = act_u + h * adot_u
+    fexact = jnp.asarray(dyn == DYN_FILTEREXACT)
+    nxt = jnp.where(fexact, act_u - adot_u * tau * jnp.expm1(-h / tau), nxt)
+    alim = jnp.asarray(m.actuator_actlimited.astype(bool))
+    nxt = jnp.where(
+        alim,
+        jnp.clip(nxt, m.actuator_actrange[:, 0], m.actuator_actrange[:, 1]),
+        nxt,
+    )
+    early = jnp.asarray(m.actuator_actearly.astype(bool))
+    inp = jnp.where(stateful, jnp.where(early, nxt, act_u), ctrl)
+    sf = np.nonzero(dyn > 0)[0]  # static scatter (actnum == 1 each)
+    act_dot = (
+        jnp.zeros(m.na, d.qpos.dtype)
+        .at[m.actuator_actadr[sf]]
+        .set(adot_u[sf])
+    )
+    return inp, act_dot
+
+
 def fwd_actuation(m: Model, d: Data) -> Data:
-    """Actuator forces: gain*ctrl + bias, clamped, mapped through moments."""
+    """Actuator forces: gain*input + bias, clamped, mapped through moments."""
     if m.nu == 0:
         return d.replace(qfrc_actuator=jnp.zeros(m.nv, d.qpos.dtype))
-    ctrl = d.ctrl
-    limited = jnp.asarray(m.actuator_ctrllimited.astype(bool))
-    ctrl = jnp.where(
-        limited,
-        jnp.clip(ctrl, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]),
-        ctrl,
-    )
+    ctrl, act_dot = actuation_input(m, d)
     velocity = d.actuator_moment @ d.qvel
 
     # gaintype: 0=fixed, 1=affine (gainprm[0] + [1]*len + [2]*vel)
@@ -293,7 +376,10 @@ def fwd_actuation(m: Model, d: Data) -> Data:
     )
     qfrc = d.actuator_moment.T @ force
     return d.replace(
-        actuator_velocity=velocity, actuator_force=force, qfrc_actuator=qfrc
+        actuator_velocity=velocity,
+        actuator_force=force,
+        qfrc_actuator=qfrc,
+        act_dot=act_dot,
     )
 
 

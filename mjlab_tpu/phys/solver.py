@@ -29,6 +29,7 @@ from mjlab_tpu.phys.model import (
     EFC_EQUALITY,
     EFC_FRICTION_DOF,
     EFC_LIMIT_JOINT,
+    EFC_LIMIT_TENDON,
     Model,
 )
 from mjlab_tpu.phys.data import Data
@@ -256,16 +257,17 @@ def _solve_impl(m: Model, d: Data) -> Data:
     import numpy as _np
 
     neq = m.neq_jnt
-    nlimit = m.nlimit
+    nlimit = m.nlimit + m.nlimit_ten  # joint + tendon limit rows
     Jeq = d.efc_Jeq
     side = d.efc_lim_side
     Jc = d.efc_Jc
     lim_vadr = _np.asarray(m.jnt_dofadr[m.limit_jntid], _np.int32)
-    # static one-hot (nlimit, nv) scatter matrix for limit rows
-    P = _np.zeros((nlimit, nv), _np.float64)
-    if nlimit:
-        P[_np.arange(nlimit), lim_vadr] = 1.0
-    Pj = jnp.asarray(P, dtype)
+    # static limit-row pattern: one-hot joint rows (+ tendon coef rows)
+    from mjlab_tpu.phys.model import limit_rows_static
+
+    Pj = jnp.asarray(limit_rows_static(m), dtype)
+    # joint-only limit blocks keep the cheaper gather/diagonal forms
+    lim_dense = bool(m.nlimit_ten)
     s_fr = slice(neq, neq + nv)
     s_lim = slice(neq + nv, neq + nv + nlimit)
     s_con = slice(neq + nv + nlimit, m.nefc)
@@ -276,7 +278,7 @@ def _solve_impl(m: Model, d: Data) -> Data:
             parts.append(Jeq @ x)
         parts.append(x)
         if nlimit:
-            parts.append(side * x[lim_vadr])
+            parts.append(side * (Pj @ x) if lim_dense else side * x[lim_vadr])
         if Jc.shape[0]:
             parts.append(Jc @ x)
         return jnp.concatenate(parts)
@@ -346,7 +348,9 @@ def _solve_impl(m: Model, d: Data) -> Data:
     # rows 2, equality rows none — sorting only those beats sorting 2*nefc
     # padded slots.
     _os_idx = _np.nonzero(
-        (m.efc_type == EFC_LIMIT_JOINT) | (m.efc_type == EFC_CONTACT)
+        (m.efc_type == EFC_LIMIT_JOINT)
+        | (m.efc_type == EFC_LIMIT_TENDON)
+        | (m.efc_type == EFC_CONTACT)
     )[0]
     _fr_idx = _np.nonzero(m.efc_type == EFC_FRICTION_DOF)[0]
 
@@ -500,9 +504,13 @@ def _solve_impl(m: Model, d: Data) -> Data:
         # H = M + J^T Dq J by block: friction/limit rows only touch the
         # diagonal; equality rows are tiny; contacts are the dense part.
         diag = Dq[s_fr]
-        if nlimit:
+        if nlimit and not lim_dense:
             diag = diag + Dq[s_lim] @ Pj  # side^2 == 1
         H = M + jnp.diag(diag)
+        if nlimit and lim_dense:
+            # tendon rows are dense: full P^T diag(Dq) P (inactive rows
+            # have D == 0, so no side masking needed)
+            H = H + (Pj.T * Dq[s_lim]) @ Pj
         if Jc.shape[0]:
             if elliptic:
                 B = _ell_hess_blocks(z_h, D_c)  # (K, R, R)
@@ -569,7 +577,7 @@ def _solve_impl(m: Model, d: Data) -> Data:
     K = m.ncon_max
     R = m.rows_per_con
     if K and m.pairs.ncon:
-        base = m.neq_jnt + m.nv + m.nlimit
+        base = m.neq_jnt + m.nv + m.nlimit + m.nlimit_ten
         rows = force[base : base + R * K].reshape(K, R)
         con_force_c, con_torque_c = _contact_force_torque(
             m, rows, d.con_packed_c, d.con_sel_active
@@ -676,7 +684,7 @@ def _decode_contact_forces_batched(m: Model, d: Data, force):
     if not (K and m.pairs.ncon):
         return d.con_force_c, d.con_torque_c
     E = force.shape[0]
-    base = m.neq_jnt + m.nv + m.nlimit
+    base = m.neq_jnt + m.nv + m.nlimit + m.nlimit_ten
     rows = force[:, base : base + R * K].reshape(E, K, R)
     return _contact_force_torque(m, rows, d.con_packed_c, d.con_sel_active)
 
@@ -687,16 +695,16 @@ def _assemble_dense_J(m: Model, d: Data):
     import numpy as _np
 
     E = d.qpos.shape[0]
-    nv, nlimit = m.nv, m.nlimit
+    from mjlab_tpu.phys.model import limit_rows_static
+
+    nv, nlimit = m.nv, m.nlimit + m.nlimit_ten
     dtype = d.qpos.dtype
     parts = []
     if m.neq_jnt:
         parts.append(d.efc_Jeq)
     parts.append(jnp.broadcast_to(jnp.eye(nv, dtype=dtype), (E, nv, nv)))
     if nlimit:
-        lim_vadr = _np.asarray(m.jnt_dofadr[m.limit_jntid], _np.int32)
-        P = _np.zeros((nlimit, nv), _np.float64)
-        P[_np.arange(nlimit), lim_vadr] = 1.0
+        P = limit_rows_static(m)
         parts.append(d.efc_lim_side[..., None] * jnp.asarray(P, dtype))
     if d.efc_Jc.shape[1]:
         parts.append(d.efc_Jc)
@@ -708,7 +716,9 @@ def _solve_batched_pallas(m: Model, d: Data) -> Data:
 
     os_mask = tuple(
         bool(b)
-        for b in (m.efc_type == EFC_LIMIT_JOINT) | (m.efc_type == EFC_CONTACT)
+        for b in (m.efc_type == EFC_LIMIT_JOINT)
+        | (m.efc_type == EFC_LIMIT_TENDON)
+        | (m.efc_type == EFC_CONTACT)
     )
     fr_mask = tuple(bool(b) for b in m.efc_type == EFC_FRICTION_DOF)
     eq_mask = tuple(bool(b) for b in m.efc_type == EFC_EQUALITY)

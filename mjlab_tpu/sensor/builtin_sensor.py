@@ -15,8 +15,8 @@ jointlimitvel, jointlimitfrc, jointactuatorfrc; actuatorpos, actuatorvel,
 actuatorfrc; framepos, framequat, framexaxis, frameyaxis, framezaxis,
 framelinvel, frameangvel, framelinacc, frameangacc; subtreecom,
 subtreelinvel, subtreeangmom; e_potential, e_kinetic, clock; upvector
-(alias for framezaxis, kept for back-compat). Tendon sensors raise at
-config time (the engine does not support tendons).
+(alias for framezaxis, kept for back-compat); tendonpos, tendonvel,
+tendonactuatorfrc (fixed tendons).
 """
 
 from __future__ import annotations
@@ -63,6 +63,8 @@ _OBJ_REQUIREMENTS = {
     "jointactuatorfrc": "joint",
     "actuatorpos": "actuator", "actuatorvel": "actuator",
     "actuatorfrc": "actuator",
+    "tendonpos": "tendon", "tendonvel": "tendon",
+    "tendonactuatorfrc": "tendon",
 }
 _SPATIAL_FRAME_TYPES = {"body", "xbody", "geom", "site"}
 _SENSORS_ALLOWING_REF = _FRAME_SENSORS - {"upvector"}
@@ -74,6 +76,7 @@ _SENSOR_DIM = {
     "jointpos": 1, "jointvel": 1, "jointlimitpos": 1, "jointlimitvel": 1,
     "jointlimitfrc": 1, "jointactuatorfrc": 1,
     "actuatorpos": 1, "actuatorvel": 1, "actuatorfrc": 1,
+    "tendonpos": 1, "tendonvel": 1, "tendonactuatorfrc": 1,
     "framepos": 3, "framequat": 4, "framexaxis": 3, "frameyaxis": 3,
     "framezaxis": 3, "framelinvel": 3, "frameangvel": 3,
     "framelinacc": 3, "frameangacc": 3,
@@ -99,6 +102,9 @@ _SPEC_SENSOR_TYPES = {
     mujoco.mjtSensor.mjSENS_ACTUATORPOS: ("actuatorpos", "actuator"),
     mujoco.mjtSensor.mjSENS_ACTUATORVEL: ("actuatorvel", "actuator"),
     mujoco.mjtSensor.mjSENS_ACTUATORFRC: ("actuatorfrc", "actuator"),
+    mujoco.mjtSensor.mjSENS_TENDONPOS: ("tendonpos", "tendon"),
+    mujoco.mjtSensor.mjSENS_TENDONVEL: ("tendonvel", "tendon"),
+    mujoco.mjtSensor.mjSENS_TENDONACTFRC: ("tendonactuatorfrc", "tendon"),
     mujoco.mjtSensor.mjSENS_FRAMEPOS: ("framepos", None),
     mujoco.mjtSensor.mjSENS_FRAMEQUAT: ("framequat", None),
     mujoco.mjtSensor.mjSENS_FRAMEXAXIS: ("framexaxis", None),
@@ -123,6 +129,7 @@ _MJ_OBJTYPE = {
     mujoco.mjtObj.mjOBJ_SITE: "site",
     mujoco.mjtObj.mjOBJ_JOINT: "joint",
     mujoco.mjtObj.mjOBJ_ACTUATOR: "actuator",
+    mujoco.mjtObj.mjOBJ_TENDON: "tendon",
 }
 
 
@@ -158,10 +165,6 @@ class BuiltinSensorCfg(SensorCfg):
                 entity=self.entity,
             )
         t = self.sensor_type
-        if t in ("tendonpos", "tendonvel", "tendonactuatorfrc"):
-            raise ValueError(
-                f"sensor '{t}': tendons are not supported by the engine"
-            )
         if t in _GLOBAL_SENSORS:
             return
         if self.obj is None:
@@ -370,6 +373,24 @@ class BuiltinSensor(Sensor):
                     float(mj_model.jnt_range[jid, 1]),
                 )
                 self._jnt_limited = bool(mj_model.jnt_limited[jid])
+            elif kind == "tendon":
+                tid = mujoco.mj_name2id(
+                    mj_model, mujoco.mjtObj.mjOBJ_TENDON, name
+                )
+                if tid < 0:
+                    raise ValueError(f"tendon '{name}' not found")
+                self._ten_id = tid
+                # actuators transmitting to this tendon (tendonactuatorfrc)
+                self._ten_actuators = np.array(
+                    [
+                        u
+                        for u in range(mj_model.nu)
+                        if int(mj_model.actuator_trntype[u])
+                        == int(mujoco.mjtTrn.mjTRN_TENDON)
+                        and int(mj_model.actuator_trnid[u, 0]) == tid
+                    ],
+                    np.int32,
+                )
             else:  # actuator
                 aid = mujoco.mj_name2id(
                     mj_model, mujoco.mjtObj.mjOBJ_ACTUATOR, name
@@ -471,6 +492,17 @@ class BuiltinSensor(Sensor):
             if row is None:
                 return jnp.zeros((d.qpos.shape[0], 1), d.qpos.dtype)
             return jnp.where(active, d.efc_force[:, row], 0.0)[:, None]
+
+        if t in ("tendonpos", "tendonvel"):
+            src = d.ten_length if t == "tendonpos" else d.ten_velocity
+            return src[:, self._ten_id, None]
+        if t == "tendonactuatorfrc":
+            # sum of scalar actuator forces acting on this tendon,
+            # unscaled by gear (mj_sensorAcc mjSENS_TENDONACTFRC)
+            ua = self._ten_actuators
+            if ua.size == 0:
+                return jnp.zeros((d.qpos.shape[0], 1), d.qpos.dtype)
+            return jnp.sum(d.actuator_force[:, ua], axis=1, keepdims=True)
 
         if t in ("actuatorpos", "actuatorvel", "actuatorfrc"):
             src = {

@@ -6,11 +6,20 @@ Usage: JAX_PLATFORMS=cpu python scripts/parity_check.py [--model g1|toy|ball]
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# ground truth is CPU MuJoCo; force the CPU backend unless explicitly
+# overridden (the ambient JAX_PLATFORMS may point at a hardware plugin
+# whose tunnel can be down, which hangs backend init)
+if os.environ.get("MJLAB_PARITY_PLATFORM"):
+    os.environ["JAX_PLATFORMS"] = os.environ["MJLAB_PARITY_PLATFORM"]
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# a sitecustomize may import jax (and pick a hardware plugin) before the
+# env var above is seen — force the platform through jax.config too
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
