@@ -407,7 +407,7 @@ class ManagerBasedRlEnv:
     def _traced_step(self, state: EnvState, action: jax.Array):
         ctx = self.ctx
         ctx.load(state)
-        step_phys = jax.vmap(phys_fwd.step, in_axes=(self.sim.model_axes, 0))
+        step_phys = self.sim.step_fn()
 
         self.action_manager.process_action(action)
 

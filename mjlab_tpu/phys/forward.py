@@ -145,6 +145,11 @@ def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
 def step(m: Model, d: Data) -> Data:
     """One physics step: forward dynamics + integration."""
     d = forward(m, d)
+    return integrate(m, d)
+
+
+def integrate(m: Model, d: Data) -> Data:
+    """Post-solve integration + activation advance + mj_check reset."""
     h = m.opt.timestep
     if m.opt.integrator == INT_EULER:
         qacc_int = _euler_qacc(m, d)

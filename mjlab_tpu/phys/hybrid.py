@@ -1,0 +1,284 @@
+"""Hybrid batched step: vmapped smooth stages + env-last hot stages.
+
+The vmapped engine (phys/forward.py under jax.vmap) leaves array layout
+to vmap: every intermediate is env-MAJOR, so the big contact/constraint
+arrays carry tiny trailing dims (3/9/26/nv) on the TPU (8, 128) tile and
+pay 2-4x physical HBM traffic plus ~30 under-utilized fusions per substep
+(PERF_NOTES.md round-1 trace: ~40 ms narrowphase+smooth and ~23 ms Newton
+at 4096 envs). The lane-major engine (phys/lm/) fixes the layout but its
+scalar-plane kinematics/RNE blow up compile time at robot scale
+(scripts/lm_stage_compile.py: 22.7k jaxpr eqns in kinematics alone; the
+full G1 step exceeds 50 min of XLA CPU compile).
+
+This module composes the best of both, per stage (measured per-stage
+compile costs in scripts/lm_stage_compile.py):
+
+    kinematics/com_pos/crb/transmission/
+    com_vel/rne/passive/actuation/integrate   -> vmapped (small data,
+                                                 cheap compile)
+    narrowphase + top-K compaction +
+    contact constraint rows                   -> env-last lm code
+                                                 (3.2k + 1.1k eqns)
+    Newton constraint solve                   -> env-last lm solver
+                                                 (Pallas kernel on TPU)
+
+Boundary transposes move only the SMALL arrays (geom_xpos/xmat, cdof,
+subtree_com, qM, qacc vectors); the full (E, ncon, 26) contact table and
+the (E, nefc, nv) constraint Jacobian never materialize env-first — the
+contact table is written back env-first ONCE per substep for the contact
+sensors, instead of being re-read by ~30 padded fusions.
+
+Semantics match phys/forward.step exactly (same formulas, same row
+layout, same solver numerics with the bisection line search); gated by
+`hybrid_supported` and verified by tests/test_hybrid_parity.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjlab_tpu.phys import forward as fwd
+from mjlab_tpu.phys import smooth
+from mjlab_tpu.phys.collision import (
+    GEOM_BOX, GEOM_CAPSULE, GEOM_HFIELD, GEOM_PLANE, GEOM_SPHERE,
+)
+from mjlab_tpu.phys.data import Data
+from mjlab_tpu.phys.kinematics import com_pos, kinematics
+from mjlab_tpu.phys.lm.base import Params
+from mjlab_tpu.phys.lm.collision import collision_lm, slot_params
+from mjlab_tpu.phys.lm.constraint import make_constraint_lm
+from mjlab_tpu.phys.lm.solver import solve_lm
+from mjlab_tpu.phys.model import Model
+from mjlab_tpu.phys.solver import _decode_contact_forces_batched
+
+_LM_PAIR_KEYS = {
+    (GEOM_PLANE, GEOM_SPHERE), (GEOM_PLANE, GEOM_CAPSULE),
+    (GEOM_PLANE, GEOM_BOX),
+    (GEOM_SPHERE, GEOM_SPHERE), (GEOM_SPHERE, GEOM_CAPSULE),
+    (GEOM_SPHERE, GEOM_BOX),
+    (GEOM_CAPSULE, GEOM_CAPSULE), (GEOM_CAPSULE, GEOM_BOX),
+    (GEOM_BOX, GEOM_BOX),
+    (GEOM_HFIELD, GEOM_SPHERE), (GEOM_HFIELD, GEOM_CAPSULE),
+    (GEOM_HFIELD, GEOM_BOX),
+}
+
+
+def hybrid_supported(m: Model) -> bool:
+    """True when the env-last fast path covers this model's features."""
+    if int(m.opt.cone) != 0:
+        return False  # lm constraint/solver implement the pyramid only
+    if m.ntendon or m.na:
+        return False  # lm engine predates tendons/activation dynamics
+    pt = m.pairs
+    if pt.ncon:
+        t1 = np.asarray(m.geom_type)[pt.geom1]
+        t2 = np.asarray(m.geom_type)[pt.geom2]
+        keys = {(int(a), int(b)) for a, b in zip(t1, t2)}
+        if not keys <= _LM_PAIR_KEYS:
+            return False
+    return True
+
+
+def _planes_from(arr_t, n, w):
+    """(n, w, E) -> list of n w-tuples of (E,) planes (cheap views)."""
+    return [tuple(arr_t[i, j] for j in range(w)) for i in range(n)]
+
+
+def _contact_envlast(m: Model, bf: frozenset, d: Data):
+    """Env-last narrowphase + compaction + constraint rows. Returns the
+    lm `k` dict (holding all env-last efc arrays) and the Params view."""
+    E = d.qpos.shape[0]
+    dtype = d.qpos.dtype
+    P = Params(m, bf, E)
+    G = m.ngeom
+
+    gxT = jnp.moveaxis(d.geom_xpos, 0, -1)  # (G, 3, E)
+    gmT = jnp.moveaxis(d.geom_xmat.reshape(E, G, 9), 0, -1)  # (G, 9, E)
+    scT = jnp.moveaxis(d.subtree_com, 0, -1)  # (nbody, 3, E)
+    cdT = jnp.moveaxis(d.cdof, 0, -1)  # (nv, 6, E)
+    k = {
+        "geom_xpos": _planes_from(gxT, G, 3),
+        "geom_xmat": _planes_from(gmT, G, 9),
+        "subtree_com": _planes_from(scT, m.nbody, 3),
+        "cdof": _planes_from(cdT, m.nv, 6),
+    }
+    k = collision_lm(m, P, k, dtype)
+
+    qT = d.qpos.T
+    vT = d.qvel.T
+    q = tuple(qT[i] for i in range(m.nq))
+    qvel = tuple(vT[i] for i in range(m.nv))
+    k = make_constraint_lm(m, P, k, q, qvel, dtype)
+    return k, P
+
+
+def _writeback_position(m: Model, d: Data, k: dict, P: Params) -> Data:
+    """Write the env-first Data fields downstream consumers read
+    (contact sensors: full table; viewers/rne_post: compacted record;
+    solver introspection/tests: efc rows)."""
+    E = d.qpos.shape[0]
+    dtype = d.qpos.dtype
+    mv = lambda x: jnp.moveaxis(x, -1, 0)  # noqa: E731
+    upd = dict(
+        efc_D=k["efc_D"].T,
+        efc_aref=k["efc_aref"].T,
+        efc_frictionloss=k["efc_fl"].T,
+        efc_pos=k["efc_pos"].T,
+        efc_margin=k["efc_margin"].T,
+        efc_active=k["efc_active"].T,
+        efc_Jeq=mv(jnp.broadcast_to(k["efc_Jeq"], (m.neq_jnt, m.nv, E))),
+        efc_lim_side=k["efc_lim_side"].T,
+        efc_Jc=mv(k["efc_Jc"]),
+    )
+    S = m.pairs.ncon
+    if S:
+        f5, sr, si, inclm = slot_params(m, P, dtype)  # (S, *, Eb)
+
+        def b3(x, width):
+            return jnp.broadcast_to(x, (S, width, E))
+
+        packed_t = jnp.concatenate(
+            [
+                k["con_dist"][:, None],
+                b3(inclm[:, None, :], 1),
+                k["con_pos"],
+                b3(f5, 5), b3(sr, 2), b3(si, 5),
+                k["con_frame"],
+            ],
+            axis=1,
+        )  # (S, 26, E)
+        upd.update(
+            contact=d.contact.replace(packed=mv(packed_t)),
+            condist=k["con_dist"].T,
+            connormal=mv(k["con_frame"][:, 0:3]),
+        )
+    K = m.ncon_max
+    if S and K:
+        cpk = jnp.concatenate(
+            [
+                k["con_dist_k"][:, None],
+                k["con_margin_k"][:, None],
+                k["con_pos_k"],
+                k["con_mu_k"],
+                k["con_solref_k"],
+                jnp.broadcast_to(k["con_solimp_k"], (K, 5, E)),
+                k["con_frame_k"],
+                k["con_dim_k"][:, None],
+            ],
+            axis=1,
+        )  # (K, 27, E)
+        upd.update(
+            con_sel=k["con_sel"].T.astype(jnp.int32),
+            con_sel_active=k["con_sel_active"].T,
+            con_packed_c=mv(cpk),
+        )
+    return d.replace(**upd)
+
+
+def _batched_stage(fn, m_axes):
+    return jax.vmap(fn, in_axes=(m_axes, 0))
+
+
+def _use_pallas(m: Model, d: Data, E: int) -> bool:
+    import os
+
+    mode = os.environ.get("MJLAB_TPU_SOLVER", "auto")  # auto|pure|pallas
+    return (
+        mode != "pure"
+        and (jax.default_backend() != "cpu" or mode == "pallas")
+        and E % 128 == 0
+        and d.qpos.dtype == jnp.float32
+        and m.nefc > 0
+    )
+
+
+def _solve_pallas_envlast(m: Model, k: dict, d: Data) -> dict:
+    """Dense env-last J assembly + the fused Pallas Newton kernel."""
+    from mjlab_tpu.phys.model import (
+        EFC_CONTACT, EFC_EQUALITY, EFC_FRICTION_DOF, EFC_LIMIT_JOINT,
+        EFC_LIMIT_TENDON, limit_rows_static,
+    )
+    from mjlab_tpu.phys.solver_pallas import newton_solve_pallas_envlast
+
+    E = d.qpos.shape[0]
+    nv = m.nv
+    dtype = d.qpos.dtype
+    nlimit = m.nlimit + m.nlimit_ten
+    parts = []
+    if m.neq_jnt:
+        parts.append(jnp.broadcast_to(k["efc_Jeq"], (m.neq_jnt, nv, E)))
+    parts.append(jnp.broadcast_to(jnp.eye(nv, dtype=dtype)[..., None], (nv, nv, E)))
+    if nlimit:
+        Pl = jnp.asarray(limit_rows_static(m), dtype)  # (nlimit, nv)
+        parts.append(k["efc_lim_side"][:, None, :] * Pl[..., None])
+    if k["efc_Jc"].shape[0]:
+        parts.append(k["efc_Jc"])
+    Jrows = jnp.concatenate(parts, axis=0)  # (nefc, nv, E)
+    Jt = jnp.swapaxes(Jrows, 0, 1)  # (nv, nefc, E)
+
+    os_mask = tuple(
+        bool(b)
+        for b in (m.efc_type == EFC_LIMIT_JOINT)
+        | (m.efc_type == EFC_LIMIT_TENDON)
+        | (m.efc_type == EFC_CONTACT)
+    )
+    fr_mask = tuple(bool(b) for b in m.efc_type == EFC_FRICTION_DOF)
+    eq_mask = tuple(bool(b) for b in m.efc_type == EFC_EQUALITY)
+    x, force = newton_solve_pallas_envlast(
+        Jt, k["efc_D"], k["efc_aref"], k["efc_fl"], k["qM_dense"],
+        d.qacc_smooth.T, d.qacc_warmstart.T,
+        nv=nv, nefc=m.nefc,
+        os_mask=os_mask, fr_mask=fr_mask, eq_mask=eq_mask,
+        iterations=m.opt.iterations,
+        ls_iterations=max(m.opt.ls_iterations, 8),
+        tolerance=float(m.opt.tolerance),
+    )
+    qfrc_constraint = jnp.einsum("vre,re->ve", Jt, force)
+    return dict(qacc=x, efc_force=force, qfrc_constraint=qfrc_constraint)
+
+
+def forward_hybrid(m: Model, bf: frozenset, d: Data, m_axes) -> Data:
+    """Batched mj_forward. d is env-first batched; m may carry DR-batched
+    fields (axis 0) per `bf`/`m_axes`."""
+    vm = lambda f: _batched_stage(f, m_axes)  # noqa: E731
+    d = vm(kinematics)(m, d)
+    d = vm(com_pos)(m, d)
+    d = vm(smooth.crb)(m, d)
+    k, P = _contact_envlast(m, bf, d)
+    d = _writeback_position(m, d, k, P)
+    d = vm(smooth.transmission)(m, d)
+    d = vm(smooth.com_vel)(m, d)
+    d = vm(smooth.rne)(m, d)
+    d = vm(smooth.passive)(m, d)
+    d = vm(smooth.fwd_actuation)(m, d)
+    d = vm(fwd.fwd_acceleration)(m, d)
+
+    # env-last Newton solve on the k-resident constraint arrays
+    E = d.qpos.shape[0]
+    k["qM_dense"] = jnp.moveaxis(d.qM, 0, -1)  # (nv, nv, E)
+    if _use_pallas(m, d, E):
+        sol = _solve_pallas_envlast(m, k, d)
+    else:
+        sol = solve_lm(
+            m, P, k, d.qacc_smooth.T, d.qacc_warmstart.T, d.qpos.dtype
+        )
+    qacc = sol["qacc"].T
+    efc_force = sol["efc_force"].T
+    d = d.replace(
+        qacc=qacc,
+        qacc_warmstart=qacc,
+        qfrc_constraint=sol["qfrc_constraint"].T,
+        efc_force=efc_force,
+    )
+    if m.ncon_max and m.pairs.ncon:
+        cf, ct = _decode_contact_forces_batched(m, d, efc_force)
+        d = d.replace(con_force_c=cf, con_torque_c=ct)
+    return d
+
+
+def step_hybrid(m: Model, bf: frozenset, d: Data, m_axes) -> Data:
+    """Batched mj_step with env-last hot stages."""
+    d = forward_hybrid(m, bf, d, m_axes)
+    return _batched_stage(fwd.integrate, m_axes)(m, d)

@@ -84,7 +84,13 @@ def slot_params(m, P: Params, dtype):
     DR-batched (the common case) the mixing happens host-side in numpy
     and the results are compile-time constants."""
     cp = m.pairs.con_pairid
-    if not any(f in P.batched for f in _PARAM_FIELDS):
+    host_const = not any(
+        f in P.batched or isinstance(getattr(m, f), jax.core.Tracer)
+        for f in _PARAM_FIELDS
+    )
+    if host_const:
+        # no DR and the model is a closed-over host constant: mix in numpy
+        # so the slot parameters fold to compile-time constants
         f5, sr, si, mg, gp = _np_pair_params(m)
         to = lambda x: jnp.asarray(x[cp], dtype)[..., None]
         return to(f5), to(sr), to(si), jnp.asarray((mg - gp)[cp], dtype)[:, None]

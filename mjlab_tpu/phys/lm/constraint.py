@@ -90,11 +90,12 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
     zero = jnp.zeros((E,), dtype)
 
     D_b, aref_b, fl_b = [], [], []
+    pos_b, margin_b, act_b = [], [], []
 
     # ---- joint equality rows ----
     Jeq = jnp.zeros((neq, nv, E), dtype)
     if neq:
-        rows_D, rows_aref = [], []
+        rows_D, rows_aref, rows_pos = [], [], []
         Jeq_list = []
         for e in range(neq):
             q1adr = int(m.eq_j1_qadr[e])
@@ -122,6 +123,7 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
             imp, kk, bb, De = _efc_kbid(sr, si, pos_eq, iw)
             rows_D.append(jnp.broadcast_to(De, (E,)))
             rows_aref.append(jnp.broadcast_to(-bb * vel - kk * imp * pos_eq, (E,)))
+            rows_pos.append(jnp.broadcast_to(pos_eq, (E,)))
             row = jnp.zeros((nv, E), dtype)
             row = row.at[d1].set(1.0)
             if j2 >= 0:
@@ -133,6 +135,9 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
         D_b.append(jnp.stack(rows_D))
         aref_b.append(jnp.stack(rows_aref))
         fl_b.append(jnp.zeros((neq, E), dtype))
+        pos_b.append(jnp.stack(rows_pos))
+        margin_b.append(jnp.zeros((neq, E), dtype))
+        act_b.append(jnp.ones((neq, E), bool))
 
     # ---- dof friction rows ----
     sr_dof = P("dof_solref")  # (nv, 2, Eb)
@@ -143,13 +148,15 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
     )
     qvel_s = jnp.stack(qvel) if nv else jnp.zeros((0, E), dtype)
     fl_dof = jnp.broadcast_to(P("dof_frictionloss"), (nv, E)).astype(dtype)
-    # friction rows participate only where frictionloss > 0 (matches the
-    # single-world engine's efc_active masking)
-    D_b.append(jnp.where(fl_dof > 0, jnp.broadcast_to(Df, (nv, E)), 0.0))
-    aref_b.append(
-        jnp.where(fl_dof > 0, jnp.broadcast_to(-bb, (nv, E)) * qvel_s, 0.0)
-    )
+    # D/aref are NOT masked by frictionloss (the clip to +-fl already
+    # zeroes forces at fl == 0) — matches phys/constraint.py exactly so
+    # the hybrid step's Newton iterates are identical to the vmapped ones
+    D_b.append(jnp.broadcast_to(Df, (nv, E)))
+    aref_b.append(jnp.broadcast_to(-bb, (nv, E)) * qvel_s)
     fl_b.append(fl_dof)
+    pos_b.append(jnp.zeros((nv, E), dtype))
+    margin_b.append(jnp.zeros((nv, E), dtype))
+    act_b.append(fl_dof > 0)
 
     # ---- joint limit rows ----
     lim_side = jnp.zeros((nlimit, E), dtype)
@@ -177,6 +184,9 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
         D_b.append(jnp.where(act_lim, Dl, 0.0))
         aref_b.append(jnp.where(act_lim, -bb * vel - kk * imp * pos, 0.0))
         fl_b.append(jnp.zeros((nlimit, E), dtype))
+        pos_b.append(jnp.broadcast_to(dist, (nlimit, E)))
+        margin_b.append(jnp.broadcast_to(margin, (nlimit, E)).astype(dtype))
+        act_b.append(act_lim)
 
     # ---- contact rows (top-K compaction) ----
     pt = m.pairs
@@ -203,14 +213,20 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
         pos_k = featk[:, 1:4]  # (K, 3, E)
         frame_k = featk[:, 4:13]  # (K, 9, E) rows [n, t1, t2]
 
-        # slot parameter tables
-        if f5.shape[-1] == 1:
+        # slot parameter tables (per-field Eb may be 1 or E under partial DR)
+        if max(f5.shape[-1], sr_s.shape[-1], si_s.shape[-1], inclm.shape[-1]) == 1:
             ptab = jnp.concatenate(
                 [f5[..., 0], sr_s[..., 0], si_s[..., 0], inclm], axis=1
             )  # (S, 13) static
             pk = sel_rows(ptab[:, :, None], sel, S)  # (K, 13, E)
         else:
-            ptab = jnp.concatenate([f5, sr_s, si_s, inclm[:, None, :]], axis=1)
+            def bE(x, w):
+                return jnp.broadcast_to(x, (S, w, E))
+
+            ptab = jnp.concatenate(
+                [bE(f5, 5), bE(sr_s, 2), bE(si_s, 5), bE(inclm[:, None, :], 1)],
+                axis=1,
+            )
             pk = sel_rows(ptab, sel, S)
         mu_k = pk[:, 0:5]  # (K, 5, E)
         solref_k = pk[:, 5:7]
@@ -329,6 +345,11 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
         D_b.append(jnp.where(on, jnp.broadcast_to(Dc[:, None], (K, R, E)).reshape(KR, E), 0.0))
         aref_b.append(jnp.where(on, aref_c.reshape(KR, E), 0.0))
         fl_b.append(jnp.zeros((KR, E), dtype))
+        pos_b.append(jnp.broadcast_to(dist_k[:, None], (K, R, E)).reshape(KR, E))
+        margin_b.append(
+            jnp.broadcast_to(margin_k[:, None], (K, R, E)).reshape(KR, E)
+        )
+        act_b.append(on)
 
         out.update(
             con_sel=sel, con_sel_active=sel_active,
@@ -341,11 +362,20 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
         D_b.append(jnp.zeros((KR, E), dtype))
         aref_b.append(jnp.zeros((KR, E), dtype))
         fl_b.append(jnp.zeros((KR, E), dtype))
+        pos_b.append(jnp.zeros((KR, E), dtype))
+        margin_b.append(jnp.zeros((KR, E), dtype))
+        act_b.append(jnp.zeros((KR, E), bool))
 
     D = jnp.concatenate(D_b, axis=0) if D_b else jnp.zeros((0, E), dtype)
     aref = jnp.concatenate(aref_b, axis=0) if aref_b else jnp.zeros((0, E), dtype)
     fl = jnp.concatenate(fl_b, axis=0) if fl_b else jnp.zeros((0, E), dtype)
+    pos_r = jnp.concatenate(pos_b, axis=0) if pos_b else jnp.zeros((0, E), dtype)
+    margin_r = (
+        jnp.concatenate(margin_b, axis=0) if margin_b else jnp.zeros((0, E), dtype)
+    )
+    act = jnp.concatenate(act_b, axis=0) if act_b else jnp.zeros((0, E), bool)
 
     k.update(efc_D=D, efc_aref=aref, efc_fl=fl, efc_Jeq=Jeq,
-             efc_lim_side=lim_side, efc_Jc=Jc, **out)
+             efc_lim_side=lim_side, efc_Jc=Jc,
+             efc_pos=pos_r, efc_margin=margin_r, efc_active=act, **out)
     return k

@@ -227,34 +227,17 @@ def _make_kernel(nv, nefc, iterations, ls_iterations, tolerance):
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "nv", "nefc", "os_mask", "fr_mask", "eq_mask",
-        "iterations", "ls_iterations", "tolerance",
-    ),
-)
-def newton_solve_pallas(
-    J, D, aref, fl, M, a_smooth, x_ws,
+def _newton_call(
+    Jt, Dt, at, ft, Mc, as_t, ws_t,
     *, nv, nefc, os_mask, fr_mask, eq_mask,
     iterations, ls_iterations, tolerance,
 ):
-    """Batched Newton solve. Inputs are env-FIRST f32:
-    J (E, nefc, nv), D/aref/fl (E, nefc), M (E, nv, nv),
-    a_smooth/x_ws (E, nv). E must be a multiple of 128.
-    Returns (qacc (E, nv), efc_force (E, nefc))."""
-    E = J.shape[0]
+    """Env-LAST kernel launch: Jt (nv, nefc, E), Dt/at/ft (nefc, E),
+    Mc (nv*nv, E) column-major, as_t/ws_t (nv, E). Returns env-last
+    (x (nv, E), force (nefc, E))."""
+    E = Jt.shape[-1]
     assert E % LANES == 0, f"pallas solver needs E % {LANES} == 0, got {E}"
     grid = E // LANES
-
-    Jt = jnp.transpose(J, (2, 1, 0))                    # (nv, nefc, E)
-    Dt = D.T                                            # (nefc, E)
-    at = aref.T
-    ft = fl.T
-    # column-major mass matrix: row j*nv+i = M[i, j]
-    Mc = jnp.transpose(M, (2, 1, 0)).reshape(nv * nv, E)
-    as_t = a_smooth.T                                   # (nv, E)
-    ws_t = x_ws.T
 
     kernel = _make_kernel(nv, nefc, iterations, ls_iterations, tolerance)
     osm = jnp.asarray(np.asarray(os_mask, np.float32).reshape(nefc, 1))
@@ -294,4 +277,58 @@ def newton_solve_pallas(
             pltpu.VMEM((nv * nv, LANES), jnp.float32),
         ],
     )(Jt, Dt, at, ft, Mc, as_t, ws_t, osm, frm, eqm)
+    return x_t, f_t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nv", "nefc", "os_mask", "fr_mask", "eq_mask",
+        "iterations", "ls_iterations", "tolerance",
+    ),
+)
+def newton_solve_pallas(
+    J, D, aref, fl, M, a_smooth, x_ws,
+    *, nv, nefc, os_mask, fr_mask, eq_mask,
+    iterations, ls_iterations, tolerance,
+):
+    """Batched Newton solve. Inputs are env-FIRST f32:
+    J (E, nefc, nv), D/aref/fl (E, nefc), M (E, nv, nv),
+    a_smooth/x_ws (E, nv). E must be a multiple of 128.
+    Returns (qacc (E, nv), efc_force (E, nefc))."""
+    Jt = jnp.transpose(J, (2, 1, 0))                    # (nv, nefc, E)
+    # column-major mass matrix: row j*nv+i = M[i, j]
+    Mc = jnp.transpose(M, (2, 1, 0)).reshape(nv * nv, J.shape[0])
+    x_t, f_t = _newton_call(
+        Jt, D.T, aref.T, fl.T, Mc, a_smooth.T, x_ws.T,
+        nv=nv, nefc=nefc, os_mask=os_mask, fr_mask=fr_mask,
+        eq_mask=eq_mask, iterations=iterations,
+        ls_iterations=ls_iterations, tolerance=tolerance,
+    )
     return x_t.T, f_t.T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nv", "nefc", "os_mask", "fr_mask", "eq_mask",
+        "iterations", "ls_iterations", "tolerance",
+    ),
+)
+def newton_solve_pallas_envlast(
+    Jt, D, aref, fl, M, a_smooth, x_ws,
+    *, nv, nefc, os_mask, fr_mask, eq_mask,
+    iterations, ls_iterations, tolerance,
+):
+    """Env-LAST batched Newton solve (hybrid-step fast path — no boundary
+    transposes): Jt (nv, nefc, E), D/aref/fl (nefc, E), M (nv, nv, E),
+    a_smooth/x_ws (nv, E). Returns env-last (x (nv, E), force (nefc, E))."""
+    E = Jt.shape[-1]
+    # column-major: row j*nv+i = M[i, j] -> transpose the two nv axes
+    Mc = jnp.swapaxes(M, 0, 1).reshape(nv * nv, E)
+    return _newton_call(
+        Jt, D, aref, fl, Mc, a_smooth, x_ws,
+        nv=nv, nefc=nefc, os_mask=os_mask, fr_mask=fr_mask,
+        eq_mask=eq_mask, iterations=iterations,
+        ls_iterations=ls_iterations, tolerance=tolerance,
+    )

@@ -176,10 +176,41 @@ class Simulation:
 
     # -- pure building blocks (for the env-level single jit) --
 
+    def engine(self) -> str:
+        """Select the batched physics engine: MJLAB_TPU_ENGINE=vmap|hybrid|auto.
+
+        auto (default) uses the hybrid env-last step on accelerator
+        backends when the model is supported (phys/hybrid.py), and the
+        reference vmapped step on CPU (tests compare against it)."""
+        import os
+
+        mode = os.environ.get("MJLAB_TPU_ENGINE", "auto")
+        if mode == "vmap":
+            return "vmap"
+        from mjlab_tpu.phys.hybrid import hybrid_supported
+
+        if not hybrid_supported(self.model):
+            return "vmap"
+        if mode == "hybrid":
+            return "hybrid"
+        return "hybrid" if jax.default_backend() != "cpu" else "vmap"
+
     def step_fn(self):
+        if self.engine() == "hybrid":
+            from mjlab_tpu.phys.hybrid import step_hybrid
+
+            bf = self._batched_fields
+            axes = self.model_axes
+            return lambda mm, dd: step_hybrid(mm, bf, dd, axes)
         return jax.vmap(_fwd.step, in_axes=(self.model_axes, 0))
 
     def forward_fn(self):
+        if self.engine() == "hybrid":
+            from mjlab_tpu.phys.hybrid import forward_hybrid
+
+            bf = self._batched_fields
+            axes = self.model_axes
+            return lambda mm, dd: forward_hybrid(mm, bf, dd, axes)
         return jax.vmap(_fwd.forward, in_axes=(self.model_axes, 0))
 
     # -- eager convenience API --

@@ -81,6 +81,14 @@ def main():
         bf = env.sim._batched_fields
         print("batched fields:", sorted(bf), flush=True)
         scan_bench("lm", lambda dd: step_lm(m, bf, dd), d)
+    if which in ("hybrid", "both"):
+        from mjlab_tpu.phys.hybrid import hybrid_supported, step_hybrid
+
+        if not hybrid_supported(m):
+            print("hybrid: model unsupported, skipping", flush=True)
+        else:
+            bf = env.sim._batched_fields
+            scan_bench("hybrid", lambda dd: step_hybrid(m, bf, dd, maxes), d)
 
 
 if __name__ == "__main__":

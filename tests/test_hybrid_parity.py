@@ -1,0 +1,105 @@
+"""Hybrid (env-last hot stages) step parity vs the vmapped engine.
+
+phys/hybrid.py re-routes narrowphase, contact compaction, constraint
+assembly and the Newton solve through the lane-major implementations;
+everything downstream (managers, sensors, learners) reads the same
+env-first Data fields. These gates assert the full Data surface matches
+the vmapped engine at f64 tolerances on the toy model and on the live
+G1 velocity model.
+"""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+import mjlab_tpu.phys.forward as fwd
+from mjlab_tpu.phys.data import make_data
+from mjlab_tpu.phys.hybrid import hybrid_supported, step_hybrid
+from mjlab_tpu.phys.model import put_model
+from mjlab_tpu.sim.sim import model_in_axes
+
+from test_lm_parity import TOY_XML, _batched_state  # shared fixtures
+
+
+@pytest.fixture
+def x64():
+    with jax.enable_x64(True):
+        yield
+
+
+FIELDS = [
+    "qpos", "qvel", "qacc", "xpos", "xquat", "geom_xpos", "subtree_com",
+    "cvel", "qfrc_bias", "qfrc_passive", "qfrc_actuator", "qfrc_smooth",
+    "qacc_smooth", "qfrc_constraint", "qacc_warmstart",
+    "actuator_force", "condist", "connormal", "con_force_c", "con_torque_c",
+    "con_sel_active", "con_packed_c", "efc_D", "efc_aref", "efc_pos",
+    "efc_margin", "efc_force",
+]
+
+
+# row-content fields defined only on ACTIVE rows: the vmapped engine
+# leaves inactive-row D/aref/force unmasked-but-inert (zero Jacobian),
+# the hybrid masks them; compare on active rows only
+_ACTIVE_ONLY = ("efc_D", "efc_aref", "efc_force")
+
+
+def _compare(da, db, tol):
+    for f in FIELDS:
+        a, b = np.asarray(getattr(da, f)), np.asarray(getattr(db, f))
+        if a.size == 0:
+            continue
+        a, b = a.astype(np.float64), b.astype(np.float64)
+        if f in _ACTIVE_ONLY:
+            act = np.asarray(da.efc_active) & np.asarray(db.efc_active)
+            a, b = np.where(act, a, 0.0), np.where(act, b, 0.0)
+        scale = max(1.0, float(np.abs(a).max()))
+        err = float(np.abs(a - b).max()) / scale
+        assert err < tol, f"{f}: max rel err {err:.3e}"
+
+
+@pytest.mark.slow
+def test_hybrid_matches_vmapped_toy(x64):
+    mj = mujoco.MjModel.from_xml_string(TOY_XML)
+    m = put_model(mj, dtype=jnp.float64, nconmax=12)
+    assert hybrid_supported(m)
+    E = 4
+    dB = _batched_state(m, mj, E)
+
+    axes = model_in_axes(m, frozenset())
+    step_v = jax.jit(jax.vmap(fwd.step, in_axes=(axes, 0)))
+    step_h = jax.jit(lambda dd: step_hybrid(m, frozenset(), dd, axes))
+
+    da, db = dB, dB
+    for _ in range(10):
+        da = step_v(m, da)
+        db = step_h(db)
+    _compare(da, db, 1e-9)
+
+
+@pytest.mark.slow
+def test_hybrid_matches_vmapped_g1(x64):
+    import mjlab_tpu.tasks as tasks
+    from mjlab_tpu.scene.scene import Scene
+
+    cfg = tasks.load_env_cfg("Mjlab-Velocity-Flat-Unitree-G1")
+    cfg.scene.num_envs = 1
+    scene = Scene(cfg.scene)
+    mj = scene.compile()
+    cfg.sim.mujoco.apply(mj)
+    m = put_model(mj, dtype=jnp.float64, nconmax=35)
+    assert hybrid_supported(m)
+
+    E = 2
+    dB = _batched_state(m, mj, E, seed=7)
+
+    axes = model_in_axes(m, frozenset())
+    step_v = jax.jit(jax.vmap(fwd.step, in_axes=(axes, 0)))
+    step_h = jax.jit(lambda dd: step_hybrid(m, frozenset(), dd, axes))
+
+    da, db = dB, dB
+    for _ in range(5):
+        da = step_v(m, da)
+        db = step_h(db)
+    _compare(da, db, 1e-8)
