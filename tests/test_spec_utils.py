@@ -99,3 +99,75 @@ def test_collision_cfg_dict_resolution_keeps_default():
     model = spec.compile()
     assert model.geom("g_foot").contype[0] == 2
     assert model.geom("g_knee").contype[0] == 1
+
+
+# ---- visual element cfgs (reference tests/test_spec_config.py:160-224) ----
+
+
+def test_texture_cfg():
+    from mjlab_tpu.utils.spec_config import TextureCfg
+
+    spec = mujoco.MjSpec()
+    TextureCfg(
+        name="test_texture", type="2d", builtin="checker",
+        rgb1=(1.0, 0.0, 0.0), rgb2=(0.0, 1.0, 0.0), width=64, height=64,
+    ).edit_spec(spec)
+    tex = spec.texture("test_texture")
+    assert tex.name == "test_texture"
+    assert tex.width == 64 and tex.height == 64
+    np.testing.assert_allclose(tex.rgb1, (1.0, 0.0, 0.0))
+
+
+def test_material_cfg():
+    from mjlab_tpu.utils.spec_config import MaterialCfg, TextureCfg
+
+    spec = mujoco.MjSpec()
+    TextureCfg(name="t").edit_spec(spec)
+    MaterialCfg(
+        name="test_material", texture="t", texrepeat=(2, 2), reflectance=0.5,
+    ).edit_spec(spec)
+    mat = spec.material("test_material")
+    assert mat.name == "test_material"
+    assert mat.reflectance == 0.5
+    np.testing.assert_allclose(mat.texrepeat, (2, 2))
+
+
+def test_light_cfg():
+    from mjlab_tpu.utils.spec_config import LightCfg
+
+    spec = mujoco.MjSpec()
+    LightCfg(
+        name="test_light", body="world", pos=(1.0, 2.0, 3.0),
+        dir=(0.0, 0.0, -1.0),
+    ).edit_spec(spec)
+    light = spec.light("test_light")
+    assert light.name == "test_light"
+    np.testing.assert_allclose(light.pos, (1.0, 2.0, 3.0))
+
+
+def test_camera_cfg():
+    from mjlab_tpu.utils.spec_config import CameraCfg
+
+    spec = mujoco.MjSpec()
+    CameraCfg(
+        name="test_camera", body="world", fovy=60.0, pos=(0.0, 0.0, 5.0),
+    ).edit_spec(spec)
+    cam = spec.camera("test_camera")
+    assert cam.name == "test_camera"
+    assert cam.fovy == 60.0
+
+
+# ---- asset zoo compiles (reference tests/test_asset_zoo.py) ----
+
+
+def test_asset_zoo_robots_compile():
+    from mjlab_tpu.asset_zoo.robots import get_g1_robot_cfg, get_go1_robot_cfg
+    from mjlab_tpu.asset_zoo.robots.i2rt_yam.yam_constants import (
+        get_yam_robot_cfg,
+    )
+    from mjlab_tpu.entity import Entity
+
+    for cfg_fn in (get_g1_robot_cfg, get_go1_robot_cfg, get_yam_robot_cfg):
+        model = Entity(cfg_fn()).spec.compile()
+        assert isinstance(model, mujoco.MjModel)
+        assert model.nq > 0
