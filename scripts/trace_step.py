@@ -34,10 +34,13 @@ def main():
 
     mode = os.environ.get("TRACE_MODE", "phys")
     if mode == "phys":
+        # engine-selected step (vmap or hybrid, same as bench.py)
+        step_phys = env.sim.step_fn()
+
         @jax.jit
         def run(d):
             def body(d, _):
-                return jax.vmap(fwd.step, in_axes=(maxes, 0))(m, d), None
+                return step_phys(m, d), None
 
             d, _ = jax.lax.scan(body, d, None, length=5)
             return d
