@@ -26,6 +26,10 @@ import jax
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+from mjlab_tpu.utils.device import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -986,5 +986,6 @@ def collision(m, d):
     return d.replace(
         contact=d.contact.replace(packed=packed),
         condist=dist,
+        con_found=dist < (margin - gap)[cp],
         connormal=frame[..., 0, :],
     )

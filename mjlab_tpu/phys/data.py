@@ -137,6 +137,9 @@ class Data:
     # full-slot contact summaries for sensors (cheap; the packed table may
     # be absent in the lane-major engine's slim Data)
     condist: jax.Array  # (ncon,) signed distance per slot
+    con_found: jax.Array  # (ncon,) bool: dist < includemargin per slot —
+    # the contact sensors' activity source (kept full-width even when the
+    # hybrid step skips the big packed-table writeback)
     connormal: jax.Array  # (ncon, 3) contact normal per slot
     con_sel: jax.Array  # (ncon_max,) int32: compacted contact slot ids
     con_packed_c: jax.Array  # (ncon_max, 27): packed record + condim of
@@ -228,6 +231,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         qfrc_constraint=z(m.nv),
         qacc=z(m.nv),
         condist=jnp.full((ncon,), 1e10, dtype),
+        con_found=jnp.zeros((ncon,), bool),
         connormal=jnp.tile(jnp.array([0.0, 0, 1.0], dtype), (ncon, 1)),
         con_sel=jnp.zeros((m.ncon_max,), jnp.int32),
         con_packed_c=z(m.ncon_max, 27),

@@ -114,46 +114,60 @@ def _contact_envlast(m: Model, bf: frozenset, d: Data):
     return k, P
 
 
-def _writeback_position(m: Model, d: Data, k: dict, P: Params) -> Data:
-    """Write the env-first Data fields downstream consumers read
-    (contact sensors: full table; viewers/rne_post: compacted record;
-    solver introspection/tests: efc rows)."""
+def _writeback_position(m: Model, d: Data, k: dict, P: Params,
+                        lean: bool = False) -> Data:
+    """Write the env-first Data fields downstream consumers read.
+
+    lean=True is the per-substep hot path: it writes only what the env
+    step actually consumes — condist/con_found (sensor activity), the
+    compacted K-slot record (sensor geometry + force decode, viewers).
+    The big (E, ncon, 26) packed table and the env-first efc_* rows are
+    introspection/parity surfaces; materializing them costs ~4 ms per
+    substep at 4096 envs, so they are written only on the full path
+    (sim.forward: reset/startup, viewers, tests)."""
     E = d.qpos.shape[0]
     dtype = d.qpos.dtype
     mv = lambda x: jnp.moveaxis(x, -1, 0)  # noqa: E731
-    upd = dict(
-        efc_D=k["efc_D"].T,
-        efc_aref=k["efc_aref"].T,
-        efc_frictionloss=k["efc_fl"].T,
-        efc_pos=k["efc_pos"].T,
-        efc_margin=k["efc_margin"].T,
-        efc_active=k["efc_active"].T,
-        efc_Jeq=mv(jnp.broadcast_to(k["efc_Jeq"], (m.neq_jnt, m.nv, E))),
-        efc_lim_side=k["efc_lim_side"].T,
-        efc_Jc=mv(k["efc_Jc"]),
-    )
+    upd = {}
+    if not lean:
+        upd = dict(
+            efc_D=k["efc_D"].T,
+            efc_aref=k["efc_aref"].T,
+            efc_frictionloss=k["efc_fl"].T,
+            efc_pos=k["efc_pos"].T,
+            efc_margin=k["efc_margin"].T,
+            efc_active=k["efc_active"].T,
+            efc_Jeq=mv(jnp.broadcast_to(k["efc_Jeq"], (m.neq_jnt, m.nv, E))),
+            efc_lim_side=k["efc_lim_side"].T,
+            efc_Jc=mv(k["efc_Jc"]),
+        )
     S = m.pairs.ncon
     if S:
         f5, sr, si, inclm = slot_params(m, P, dtype)  # (S, *, Eb)
-
-        def b3(x, width):
-            return jnp.broadcast_to(x, (S, width, E))
-
-        packed_t = jnp.concatenate(
-            [
-                k["con_dist"][:, None],
-                b3(inclm[:, None, :], 1),
-                k["con_pos"],
-                b3(f5, 5), b3(sr, 2), b3(si, 5),
-                k["con_frame"],
-            ],
-            axis=1,
-        )  # (S, 26, E)
+        found = k["con_dist"] < inclm  # (S, E) via broadcast
         upd.update(
-            contact=d.contact.replace(packed=mv(packed_t)),
             condist=k["con_dist"].T,
-            connormal=mv(k["con_frame"][:, 0:3]),
+            con_found=found.T,
         )
+        if not lean:
+
+            def b3(x, width):
+                return jnp.broadcast_to(x, (S, width, E))
+
+            packed_t = jnp.concatenate(
+                [
+                    k["con_dist"][:, None],
+                    b3(inclm[:, None, :], 1),
+                    k["con_pos"],
+                    b3(f5, 5), b3(sr, 2), b3(si, 5),
+                    k["con_frame"],
+                ],
+                axis=1,
+            )  # (S, 26, E)
+            upd.update(
+                contact=d.contact.replace(packed=mv(packed_t)),
+                connormal=mv(k["con_frame"][:, 0:3]),
+            )
     K = m.ncon_max
     if S and K:
         cpk = jnp.concatenate(
@@ -239,15 +253,17 @@ def _solve_pallas_envlast(m: Model, k: dict, d: Data) -> dict:
     return dict(qacc=x, efc_force=force, qfrc_constraint=qfrc_constraint)
 
 
-def forward_hybrid(m: Model, bf: frozenset, d: Data, m_axes) -> Data:
+def forward_hybrid(m: Model, bf: frozenset, d: Data, m_axes,
+                   lean: bool = False) -> Data:
     """Batched mj_forward. d is env-first batched; m may carry DR-batched
-    fields (axis 0) per `bf`/`m_axes`."""
+    fields (axis 0) per `bf`/`m_axes`. lean skips the introspection-only
+    writebacks (see _writeback_position)."""
     vm = lambda f: _batched_stage(f, m_axes)  # noqa: E731
     d = vm(kinematics)(m, d)
     d = vm(com_pos)(m, d)
     d = vm(smooth.crb)(m, d)
     k, P = _contact_envlast(m, bf, d)
-    d = _writeback_position(m, d, k, P)
+    d = _writeback_position(m, d, k, P, lean=lean)
     d = vm(smooth.transmission)(m, d)
     d = vm(smooth.com_vel)(m, d)
     d = vm(smooth.rne)(m, d)
@@ -278,7 +294,10 @@ def forward_hybrid(m: Model, bf: frozenset, d: Data, m_axes) -> Data:
     return d
 
 
-def step_hybrid(m: Model, bf: frozenset, d: Data, m_axes) -> Data:
-    """Batched mj_step with env-last hot stages."""
-    d = forward_hybrid(m, bf, d, m_axes)
+def step_hybrid(m: Model, bf: frozenset, d: Data, m_axes,
+                lean: bool = True) -> Data:
+    """Batched mj_step with env-last hot stages. The decimation hot loop
+    runs lean (no full packed-table/efc writeback); pass lean=False for
+    parity tests that diff the whole Data surface."""
+    d = forward_hybrid(m, bf, d, m_axes, lean=lean)
     return _batched_stage(fwd.integrate, m_axes)(m, d)

@@ -213,18 +213,29 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
         pos_k = featk[:, 1:4]  # (K, 3, E)
         frame_k = featk[:, 4:13]  # (K, 9, E) rows [n, t1, t2]
 
-        # slot parameter tables (per-field Eb may be 1 or E under partial DR)
+        # slot parameter tables (per-field Eb may be 1 or E under partial
+        # DR). Static per-slot ids (body1/body2/condim) ride the SAME
+        # one-hot contraction as extra columns — per-lane gathers
+        # jnp.asarray(tab)[sel] cost ~0.8 ms each at 4096 envs on TPU.
+        b1_np = m.geom_bodyid[pt.con_geom1].astype(np.float64)
+        b2_np = m.geom_bodyid[pt.con_geom2].astype(np.float64)
+        root_np = m.body_rootid
+        dim_np = pt.con_dim.astype(np.float64)
+        ids = jnp.asarray(
+            np.stack([b1_np, b2_np, dim_np], axis=1), dtype
+        )  # (S, 3) static, exact small ints in f32
         if max(f5.shape[-1], sr_s.shape[-1], si_s.shape[-1], inclm.shape[-1]) == 1:
             ptab = jnp.concatenate(
-                [f5[..., 0], sr_s[..., 0], si_s[..., 0], inclm], axis=1
-            )  # (S, 13) static
-            pk = sel_rows(ptab[:, :, None], sel, S)  # (K, 13, E)
+                [f5[..., 0], sr_s[..., 0], si_s[..., 0], inclm, ids], axis=1
+            )  # (S, 16) static
+            pk = sel_rows(ptab[:, :, None], sel, S)  # (K, 16, E)
         else:
             def bE(x, w):
                 return jnp.broadcast_to(x, (S, w, E))
 
             ptab = jnp.concatenate(
-                [bE(f5, 5), bE(sr_s, 2), bE(si_s, 5), bE(inclm[:, None, :], 1)],
+                [bE(f5, 5), bE(sr_s, 2), bE(si_s, 5), bE(inclm[:, None, :], 1),
+                 bE(ids[:, :, None], 3)],
                 axis=1,
             )
             pk = sel_rows(ptab, sel, S)
@@ -232,16 +243,9 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
         solref_k = pk[:, 5:7]
         solimp_k = pk[:, 7:12]
         margin_k = pk[:, 12]
-
-        # two-level body lookups: slot id -> body/root ids (tiny tables),
-        # then one-hot over nbody for W rows and root coms
-        b1_np = m.geom_bodyid[pt.con_geom1]
-        b2_np = m.geom_bodyid[pt.con_geom2]
-        root_np = m.body_rootid
-        dim_np = pt.con_dim.astype(np.float32)
-        b1_id = jnp.asarray(b1_np)[sel]  # (K, E) const-gather
-        b2_id = jnp.asarray(b2_np)[sel]
-        dim_k = jnp.asarray(dim_np, dtype)[sel]  # (K, E)
+        b1_id = pk[:, 13]  # (K, E) float-coded body ids (exact)
+        b2_id = pk[:, 14]
+        dim_k = pk[:, 15]
 
         nb = m.nbody
         ohb1 = (b1_id[:, None, :] == jnp.arange(nb)[None, :, None]).astype(dtype)

@@ -63,6 +63,9 @@ def run_train(
     registry_name: str | None = None,
     motion_file: str | None = None,
 ):
+    from mjlab_tpu.utils.device import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     if distributed:
         import jax
 

@@ -309,8 +309,8 @@ class ContactSensor(Sensor):
         st = self.slot_table  # (M, S)
         M, S = st.shape
         NR = cfg.num_slots
-        active = (d.contact.dist < d.contact.includemargin)[:, st] & self.slot_mask
-        dist = jnp.where(active, d.contact.dist[:, st], jnp.inf)
+        active = d.con_found[:, st] & self.slot_mask
+        dist = jnp.where(active, d.condist[:, st], jnp.inf)
         E = active.shape[0]
         fields = set(cfg.fields)
         sgn = jnp.asarray(self.slot_sign)  # (M, S)
@@ -388,7 +388,11 @@ class ContactSensor(Sensor):
                     ).reshape(E, M * NR)
                 )
             if {"force", "torque"} & fields:
-                frame = d.contact.frame[:, st]  # (E, M, S, 3, 3)
+                # contact frames come from the COMPACTED record (the only
+                # slots that can carry force): con_packed_c cols 17:26
+                frame = self._expand_compacted(
+                    d, d.con_packed_c[..., 17:26]
+                ).reshape(E, M, S, 3, 3)
                 frame_p = jnp.take_along_axis(
                     frame, order[..., None, None], axis=2
                 )  # (E, M, NR, 3, 3)
@@ -450,15 +454,18 @@ class ContactSensor(Sensor):
         return out.reshape(E, M * NR, C)
 
     def _geom_fields(self, out, d, fields, order, active, sgn, NR):
-        """pos/normal/tangent for the chosen slots. order: (E, M, R)."""
+        """pos/normal/tangent for the chosen slots. order: (E, M, R).
+
+        Geometry comes from the COMPACTED per-slot record (expanded onto
+        this sensor's static slot table): found/dist stay exact for every
+        slot, while pos/normal/tangent of a found-but-not-top-K contact
+        read as zero — such contacts carry no solver force either, and
+        K (SimulationCfg.nconmax) bounds the solver-visible set."""
         st = self.slot_table
         E = active.shape[0]
         M, S = st.shape
         R = order.shape[-1]
         picked = jnp.take_along_axis(active, order, axis=-1)  # (E, M, R)
-        slot_of = jnp.take_along_axis(
-            jnp.broadcast_to(jnp.asarray(st)[None], (E, M, S)), order, axis=-1
-        )  # (E, M, R)
         sgn_of = jnp.take_along_axis(
             jnp.broadcast_to(sgn[None], (E, M, S)), order, axis=-1
         )
@@ -470,15 +477,19 @@ class ContactSensor(Sensor):
             return x.reshape(E, M * R, x.shape[-1])
 
         if "pos" in fields:
-            pos = d.contact.pos[
-                jnp.arange(E)[:, None, None], slot_of
-            ]  # (E, M, R, 3)
+            pos_s = self._expand_compacted(
+                d, d.con_packed_c[..., 2:5]
+            )  # (E, M, S, 3)
+            pos = jnp.take_along_axis(pos_s, order[..., None], axis=2)
             pos = jnp.where(picked[..., None], pos, 0.0)
             out = out.replace(pos=shape_out(pos))
         if {"normal", "tangent"} & fields:
-            frame = d.contact.frame[
-                jnp.arange(E)[:, None, None], slot_of
-            ]  # (E, M, R, 3, 3)
+            frame_s = self._expand_compacted(
+                d, d.con_packed_c[..., 17:26]
+            ).reshape(E, M, S, 3, 3)
+            frame = jnp.take_along_axis(
+                frame_s, order[..., None, None], axis=2
+            )  # (E, M, R, 3, 3)
             if "normal" in fields:
                 # engine normal points geom1 -> geom2; flip so it points
                 # primary -> secondary (sgn=+1 means primary is geom2)
@@ -500,7 +511,7 @@ class ContactSensor(Sensor):
     def _found_per_primary(self, ctx):
         d = ctx.data
         st = self.slot_table
-        active = (d.contact.dist < d.contact.includemargin)[:, st] & self.slot_mask
+        active = d.con_found[:, st] & self.slot_mask
         return jnp.any(active, axis=-1)  # (E, M)
 
     def update(self, ctx, dt: float) -> None:

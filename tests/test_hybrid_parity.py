@@ -69,7 +69,7 @@ def test_hybrid_matches_vmapped_toy(x64):
 
     axes = model_in_axes(m, frozenset())
     step_v = jax.jit(jax.vmap(fwd.step, in_axes=(axes, 0)))
-    step_h = jax.jit(lambda dd: step_hybrid(m, frozenset(), dd, axes))
+    step_h = jax.jit(lambda dd: step_hybrid(m, frozenset(), dd, axes, lean=False))
 
     da, db = dB, dB
     for _ in range(10):
@@ -96,7 +96,7 @@ def test_hybrid_matches_vmapped_g1(x64):
 
     axes = model_in_axes(m, frozenset())
     step_v = jax.jit(jax.vmap(fwd.step, in_axes=(axes, 0)))
-    step_h = jax.jit(lambda dd: step_hybrid(m, frozenset(), dd, axes))
+    step_h = jax.jit(lambda dd: step_hybrid(m, frozenset(), dd, axes, lean=False))
 
     da, db = dB, dB
     for _ in range(5):
