@@ -200,8 +200,24 @@ class ManagerBasedRlEnv:
                 self.num_envs, m.nq, m.nv, m.nu
             )
 
-        # 3. initial forward so dry-runs see valid kinematics
-        self.ctx.data = jax.jit(self.sim.forward_fn())(self.sim.model, self.ctx.data)
+        # 3. initial kinematic refresh so manager dry-runs (shape
+        # inference) see valid positions/velocities. This is the SAME
+        # refresh the production reset path uses (_refresh_kinematics);
+        # the full forward (constraint solve) was compiled here until
+        # round 3 — a multi-minute XLA compile on cold start that no
+        # dry-run output depends on (contact fields keep their make_data
+        # defaults until the first real step).
+        model_axes = self.sim.model_axes
+
+        def _init_refresh(m, d):
+            d = kinematics(m, d)
+            d = com_pos(m, d)
+            d = com_vel(m, d)
+            return d
+
+        self.ctx.data = jax.jit(
+            jax.vmap(_init_refresh, in_axes=(model_axes, 0))
+        )(self.sim.model, self.ctx.data)
 
         # 4. managers, reference load order (manager_based_rl_env.py:209-252)
         self.ctx.rng = self._next_init_key()

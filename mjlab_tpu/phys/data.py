@@ -150,6 +150,11 @@ class Data:
     # (on geom2; expand to full slots with phys.solver.decode_con_force)
     con_torque_c: jax.Array  # (ncon_max, 3) world contact torque about the
     # contact point (nonzero only for condim>3: torsional/rolling friction)
+    ncon_overflow: jax.Array  # () int32: cumulative count of found contacts
+    # that did NOT fit in the ncon_max compacted slots (top-K overflow).
+    # Nonzero means solver forces and sensor geometry silently dropped
+    # contacts — raise SimulationCfg.nconmax (advisor r2: overflow must be
+    # observable, not silent).
 
 
 def make_data(m: Model, dtype=jnp.float32) -> Data:
@@ -238,6 +243,7 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
         con_sel_active=jnp.zeros((m.ncon_max,), bool),
         con_force_c=z(m.ncon_max, 3),
         con_torque_c=z(m.ncon_max, 3),
+        ncon_overflow=jnp.zeros((), jnp.int32),
     )
 
 

@@ -188,7 +188,13 @@ def integrate(m: Model, d: Data) -> Data:
     qvel = jnp.where(bad, 0.0, qvel)
     act = jnp.where(bad, 0.0, act)
     d = d.replace(qacc_warmstart=jnp.where(bad, 0.0, d.qacc_warmstart))
+    # top-K compaction saturation: found contacts beyond the ncon_max
+    # compacted capacity were silently dropped this substep — count them
+    # so nconmax tuning has evidence instead of silent corruption.
+    n_found = jnp.sum(d.con_found.astype(jnp.int32))
+    overflow = jnp.maximum(n_found - m.ncon_max, 0)
     return d.replace(
         qpos=qpos, qvel=qvel, act=act, time=d.time + h,
         ncheck_reset=d.ncheck_reset + bad.astype(jnp.int32),
+        ncon_overflow=d.ncon_overflow + overflow,
     )

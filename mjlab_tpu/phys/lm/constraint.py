@@ -214,28 +214,18 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
         frame_k = featk[:, 4:13]  # (K, 9, E) rows [n, t1, t2]
 
         # slot parameter tables (per-field Eb may be 1 or E under partial
-        # DR). Static per-slot ids (body1/body2/condim) ride the SAME
-        # one-hot contraction as extra columns — per-lane gathers
-        # jnp.asarray(tab)[sel] cost ~0.8 ms each at 4096 envs on TPU.
-        b1_np = m.geom_bodyid[pt.con_geom1].astype(np.float64)
-        b2_np = m.geom_bodyid[pt.con_geom2].astype(np.float64)
-        root_np = m.body_rootid
-        dim_np = pt.con_dim.astype(np.float64)
-        ids = jnp.asarray(
-            np.stack([b1_np, b2_np, dim_np], axis=1), dtype
-        )  # (S, 3) static, exact small ints in f32
+        # DR).
         if max(f5.shape[-1], sr_s.shape[-1], si_s.shape[-1], inclm.shape[-1]) == 1:
             ptab = jnp.concatenate(
-                [f5[..., 0], sr_s[..., 0], si_s[..., 0], inclm, ids], axis=1
-            )  # (S, 16) static
-            pk = sel_rows(ptab[:, :, None], sel, S)  # (K, 16, E)
+                [f5[..., 0], sr_s[..., 0], si_s[..., 0], inclm], axis=1
+            )  # (S, 13) static
+            pk = sel_rows(ptab[:, :, None], sel, S)  # (K, 13, E)
         else:
             def bE(x, w):
                 return jnp.broadcast_to(x, (S, w, E))
 
             ptab = jnp.concatenate(
-                [bE(f5, 5), bE(sr_s, 2), bE(si_s, 5), bE(inclm[:, None, :], 1),
-                 bE(ids[:, :, None], 3)],
+                [bE(f5, 5), bE(sr_s, 2), bE(si_s, 5), bE(inclm[:, None, :], 1)],
                 axis=1,
             )
             pk = sel_rows(ptab, sel, S)
@@ -243,23 +233,35 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
         solref_k = pk[:, 5:7]
         solimp_k = pk[:, 7:12]
         margin_k = pk[:, 12]
-        b1_id = pk[:, 13]  # (K, E) float-coded body ids (exact)
-        b2_id = pk[:, 14]
-        dim_k = pk[:, 15]
 
+        # Static per-slot ids (body1/body2/root/condim): contract the sel
+        # one-hot against STATIC indicator tables. Products and partial
+        # sums stay in {0, 1} (condim: small exact ints), so the result is
+        # exact under ANY matmul precision — float-coding the ids through
+        # the value contraction above would silently round for nbody > 256
+        # if XLA lowers the einsum to a bf16 MXU pass (advisor r2 finding).
         nb = m.nbody
-        ohb1 = (b1_id[:, None, :] == jnp.arange(nb)[None, :, None]).astype(dtype)
-        ohb2 = (b2_id[:, None, :] == jnp.arange(nb)[None, :, None]).astype(dtype)
+        b1_np = m.geom_bodyid[pt.con_geom1]
+        b2_np = m.geom_bodyid[pt.con_geom2]
+        root_np = m.body_rootid
+        ohf = (
+            sel[:, None, :] == jnp.arange(S, dtype=sel.dtype)[None, :, None]
+        ).astype(dtype)  # (K, S, E)
+        ohb1 = jnp.einsum("kse,sb->kbe", ohf, jnp.asarray(np.eye(nb)[b1_np], dtype))
+        ohb2 = jnp.einsum("kse,sb->kbe", ohf, jnp.asarray(np.eye(nb)[b2_np], dtype))
+        dim_k = jnp.einsum(
+            "kse,s->ke", ohf, jnp.asarray(pt.con_dim, dtype)
+        )  # (K, E) condim in {1,3,4,6}: exact at any precision
         W = jnp.asarray(ancestor_dof_mask(m), dtype)  # (nbody, nv)
         W1 = jnp.einsum("kbe,bv->kve", ohb1, W)  # (K, nv, E)
         W2 = jnp.einsum("kbe,bv->kve", ohb2, W)
         ohr1 = jnp.einsum(
-            "kbe,br->kre", ohb1,
-            jnp.asarray(np.eye(nb)[root_np], dtype),
+            "kse,sr->kre", ohf,
+            jnp.asarray(np.eye(nb)[root_np[b1_np]], dtype),
         )
         ohr2 = jnp.einsum(
-            "kbe,br->kre", ohb2,
-            jnp.asarray(np.eye(nb)[root_np], dtype),
+            "kse,sr->kre", ohf,
+            jnp.asarray(np.eye(nb)[root_np[b2_np]], dtype),
         )
         subtree = jnp.stack(
             [jnp.stack(c) for c in

@@ -62,10 +62,29 @@ class OnPolicyRunner:
                 self._writer = "wandb"
             except Exception:
                 self._writer = "stdout"
+        if self.cfg.logger == "tensorboard" and self._writer is None:
+            # reference rl/config.py:85-90: rsl-rl's tensorboard backend.
+            # torch's SummaryWriter when importable, else the in-repo
+            # dependency-free event writer (rl/tb_writer.py).
+            tb_dir = self.log_dir or "logs/tb"
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+            except Exception:
+                from mjlab_tpu.rl.tb_writer import SummaryWriter
+            self._tb = SummaryWriter(log_dir=tb_dir)
+            self._writer = "tensorboard"
         if self._writer == "wandb":
             import wandb
 
             wandb.log({**metrics, "perf/steps_per_sec": steps_per_sec}, step=it)
+        elif self._writer == "tensorboard":
+            for k, v in metrics.items():
+                try:
+                    self._tb.add_scalar(k, float(v), it)
+                except (TypeError, ValueError):
+                    pass  # non-scalar metric
+            self._tb.add_scalar("perf/steps_per_sec", steps_per_sec, it)
+            self._tb.flush()
         else:
             keys = [
                 "train/mean_reward", "loss/surrogate", "loss/value",

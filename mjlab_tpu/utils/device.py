@@ -67,8 +67,16 @@ def enable_persistent_compilation_cache(
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    except (OSError, AttributeError, ValueError) as e:
+        # A mis-set/unwritable cache dir must not crash startup, but a
+        # silently-disabled cache costs minutes per cold compile — say why.
+        import warnings
+
+        warnings.warn(
+            f"persistent XLA compilation cache disabled: {e!r}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def apply_platform_env() -> None:

@@ -20,7 +20,59 @@ from mjlab_tpu.phys.hybrid import hybrid_supported, step_hybrid
 from mjlab_tpu.phys.model import put_model
 from mjlab_tpu.sim.sim import model_in_axes
 
-from test_lm_parity import TOY_XML, _batched_state  # shared fixtures
+
+TOY_XML = """
+<mujoco>
+  <option timestep="0.002" integrator="implicitfast" iterations="8"
+          ls_iterations="12"/>
+  <worldbody>
+    <geom type="plane" size="5 5 0.1"/>
+    <body name="base" pos="0 0 0.30">
+      <freejoint/>
+      <geom type="sphere" size="0.1" pos="0.02 0.01 0.0"/>
+      <body name="leg" pos="0.1 0 0">
+        <joint name="hip" type="hinge" axis="0 1 0" pos="0 0 0.05"
+               range="-1 1" damping="0.1" armature="0.01"
+               frictionloss="0.2"/>
+        <geom type="capsule" size="0.03" fromto="0 0 0 0 0 -0.3"/>
+        <body name="foot" pos="0 0 -0.3">
+          <joint name="knee" type="hinge" axis="0 1 0" range="-2 0.5"
+                 damping="0.05"/>
+          <geom type="box" size="0.05 0.03 0.02"/>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <position name="hip_act" joint="hip" kp="30" kv="2"/>
+    <motor name="knee_act" joint="knee" gear="1.5"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def _batched_state(m, mj, E, seed=0):
+    rng = np.random.default_rng(seed)
+    d0 = make_data(m, dtype=jnp.float64)
+    dB = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (E,) + x.shape), d0
+    )
+    qpos = np.tile(np.asarray(m.qpos0, np.float64), (E, 1))
+    qpos += 0.03 * rng.standard_normal(qpos.shape)
+    for j in range(mj.njnt):
+        if mj.jnt_type[j] == 0:  # free: renormalize the quaternion
+            a = mj.jnt_qposadr[j] + 3
+            qpos[:, a : a + 4] /= np.linalg.norm(
+                qpos[:, a : a + 4], axis=1, keepdims=True
+            )
+    return dB.replace(
+        qpos=jnp.asarray(qpos, jnp.float64),
+        qvel=jnp.asarray(0.3 * rng.standard_normal((E, m.nv)), jnp.float64),
+        ctrl=jnp.asarray(0.2 * rng.standard_normal((E, m.nu)), jnp.float64),
+    )
+
+
+
 
 
 @pytest.fixture
