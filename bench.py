@@ -1,17 +1,23 @@
-"""Throughput benchmark: G1 velocity task env-steps/s.
+"""Throughput benchmark: env-steps/s on the reference's canonical tasks.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+for the primary metric (G1 velocity, the BASELINE.md target task), with a
+"tasks" field carrying the other canonical numbers (reference protocol
+measures Go1-velocity-flat, G1-tracking-flat and Yam-lift-cube —
+reference scripts/benchmarks/measure_throughput.py:68-74).
 
-Protocol mirrors the reference benchmark (reference
-scripts/benchmarks/measure_throughput.py:54-121): full env step (physics x
-decimation + managers + obs + masked resets) at 4096 envs with RANDOM
-actions resampled every control step — episodes terminate and reset
-mid-benchmark exactly as in training. Physics-only SPS and manager
-overhead are reported on stderr (reference protocol's second number).
-The measured unit is a scanned rollout inside ONE jitted program — exactly
-how the PPO runner executes it — so per-dispatch RPC latency of the
-host<->TPU link doesn't pollute the number (the reference's CUDA-graph
-replay has the same property).
+Protocol mirrors the reference benchmark (measure_throughput.py:54-121):
+full env step (physics x decimation + managers + obs + masked resets) at
+4096 envs with RANDOM actions resampled every control step — episodes
+terminate and reset mid-benchmark exactly as in training. Physics-only
+SPS and manager overhead are reported on stderr (the protocol's second
+number). The measured unit is a scanned rollout inside ONE jitted
+program — exactly how the PPO runner executes it — so per-dispatch RPC
+latency of the host<->TPU link doesn't pollute the number (the
+reference's CUDA-graph replay has the same property).
+
+BENCH_TASKS=primary limits the run to the G1-velocity metric (fast path
+for iteration); default runs all four.
 """
 
 import json
@@ -33,6 +39,13 @@ enable_persistent_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 
+PRIMARY = ("g1_velocity", "Mjlab-Velocity-Flat-Unitree-G1")
+SECONDARY = [
+    ("go1_velocity", "Mjlab-Velocity-Flat-Unitree-Go1"),
+    ("g1_tracking", "Mjlab-Tracking-Flat-Unitree-G1"),
+    ("yam_lift_cube", "Mjlab-Lift-Cube-Yam"),
+]
+
 
 def _time_best(fn, state, reps):
     best = 1e30
@@ -46,17 +59,14 @@ def _time_best(fn, state, reps):
     return best, state
 
 
-def main():
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-    warmup = int(os.environ.get("BENCH_WARMUP", 1))
-    chunk = int(os.environ.get("BENCH_CHUNK", 25))
-    reps = int(os.environ.get("BENCH_REPS", 3))
-
+def bench_task(task_id: str, num_envs: int, warmup: int, chunk: int,
+               reps: int, physics_split: bool):
+    """Returns (env_sps, phys_sps or None, decimation)."""
     import mjlab_tpu.tasks as tasks
     from mjlab_tpu.envs import ManagerBasedRlEnv
 
     def build_and_warm():
-        cfg = tasks.load_env_cfg("Mjlab-Velocity-Flat-Unitree-G1")
+        cfg = tasks.load_env_cfg(task_id)
         cfg.scene.num_envs = num_envs
         env = ManagerBasedRlEnv(cfg)
         env.reset()
@@ -92,55 +102,93 @@ def main():
         # back to the reference vmapped engine and report that number
         if os.environ.get("MJLAB_TPU_ENGINE", "auto") == "vmap":
             raise
-        print(f"[bench] engine fallback to vmap: {type(e).__name__}: {e}",
-              file=sys.stderr)
+        print(f"[bench] {task_id}: engine fallback to vmap: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
         os.environ["MJLAB_TPU_ENGINE"] = "vmap"
-        env, roll, carry = build_and_warm()
+        try:
+            env, roll, carry = build_and_warm()
+        finally:
+            os.environ["MJLAB_TPU_ENGINE"] = "auto"
 
     best, carry = _time_best(roll, carry, reps)
     env_sps = num_envs * chunk / best
 
     n_auto = int(np.asarray(jax.device_get(carry[0].data.ncheck_reset)).sum())
-    print(f"[bench] mj_check auto-resets during benchmark: {n_auto}",
-          file=sys.stderr)
+    n_over = int(np.asarray(jax.device_get(carry[0].data.ncon_overflow)).sum())
+    print(f"[bench] {task_id}: mj_check auto-resets: {n_auto} | "
+          f"contact-slot overflow: {n_over}", file=sys.stderr)
 
-    # physics-only SPS (reference measure_physics_sps): raw substeps, no
-    # managers, same decimation accounting; uses the SAME engine as the
-    # env rollout above (sim.step_fn selects vmap/hybrid)
-    m = env.sim.model
-    dec = env.cfg.decimation
-    step_phys = env.sim.step_fn()
+    phys_sps = None
+    pbest = None
+    if physics_split:
+        # physics-only SPS (reference measure_physics_sps): raw substeps,
+        # no managers, same decimation accounting; uses the SAME engine as
+        # the env rollout above (sim.step_fn selects vmap/hybrid)
+        m = env.sim.model
+        dec = env.cfg.decimation
+        step_phys = env.sim.step_fn()
 
-    def phys_roll(d):
-        def body(dd, _):
-            return step_phys(m, dd), None
+        def phys_roll(d):
+            def body(dd, _):
+                return step_phys(m, dd), None
 
-        d, _ = jax.lax.scan(body, d, None, length=chunk * dec)
-        return d
+            d, _ = jax.lax.scan(body, d, None, length=chunk * dec)
+            return d
 
-    proll = jax.jit(phys_roll, donate_argnums=0)
-    d = carry[0].data
-    d = proll(d)
-    np.asarray(jax.device_get(d.qpos.ravel()[:1]))
-    pbest, d = _time_best(proll, d, reps)
-    phys_sps = num_envs * chunk / pbest
-    print(
-        f"[bench] physics-only: {phys_sps:,.0f} env-steps/s | full env: "
-        f"{env_sps:,.0f} | manager overhead {100 * (1 - pbest / best):.1f}%",
-        file=sys.stderr,
+        proll = jax.jit(phys_roll, donate_argnums=0)
+        d = carry[0].data
+        d = proll(d)
+        np.asarray(jax.device_get(d.qpos.ravel()[:1]))
+        pbest, d = _time_best(proll, d, reps)
+        phys_sps = num_envs * chunk / pbest
+        print(
+            f"[bench] {task_id}: physics-only: {phys_sps:,.0f} env-steps/s"
+            f" | full env: {env_sps:,.0f} | manager overhead "
+            f"{100 * (1 - pbest / best):.1f}%",
+            file=sys.stderr,
+        )
+    else:
+        print(f"[bench] {task_id}: full env: {env_sps:,.0f} env-steps/s",
+              file=sys.stderr)
+    return env_sps, phys_sps, env.cfg.decimation
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    warmup = int(os.environ.get("BENCH_WARMUP", 1))
+    chunk = int(os.environ.get("BENCH_CHUNK", 25))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    which = os.environ.get("BENCH_TASKS", "all")
+
+    key, task_id = PRIMARY
+    env_sps, phys_sps, dec = bench_task(
+        task_id, num_envs, warmup, chunk, reps, physics_split=True
     )
+
+    tasks_out = {}
+    if which != "primary":
+        for key2, tid in SECONDARY:
+            try:
+                sps2, _, _ = bench_task(
+                    tid, num_envs, warmup, chunk, reps, physics_split=False
+                )
+                tasks_out[key2] = round(sps2, 1)
+            except Exception as e:  # noqa: BLE001
+                print(f"[bench] {tid} FAILED: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                tasks_out[key2] = None
 
     target = 1_000_000.0  # BASELINE.md single-host target
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_s_g1_velocity",
-                "value": round(env_sps, 1),
-                "unit": f"env-steps/s @ {num_envs} envs (1 control step = 4 physics steps)",
-                "vs_baseline": round(env_sps / target, 4),
-            }
-        )
-    )
+    out = {
+        "metric": "env_steps_per_s_g1_velocity",
+        "value": round(env_sps, 1),
+        "unit": f"env-steps/s @ {num_envs} envs (1 control step = "
+                f"{dec} physics steps)",
+        "vs_baseline": round(env_sps / target, 4),
+    }
+    if tasks_out:
+        out["tasks"] = tasks_out
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

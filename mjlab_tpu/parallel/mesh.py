@@ -42,9 +42,43 @@ def shard_env_state(state, mesh: Mesh, num_envs: int):
     return jax.tree_util.tree_map(_shard_leaf(mesh, num_envs), state)
 
 
-def shard_train_state(ppo_state, mesh: Mesh):
-    """Replicate learner params/optimizer/normalizers across the mesh."""
+def shard_train_state(ppo_state, mesh: Mesh, mode: str = "replicated"):
+    """Place learner params/optimizer/normalizers on the mesh.
+
+    mode="replicated" (default): full copy on every chip — the reference's
+    DDP layout (rsl-rl reduce_parameters all-reduce). For the policy sizes
+    this framework trains (MLP 512-256-128, ~400 K params ≈ 1.6 MB) the
+    replicated update costs microseconds and one psum; measured on the
+    4096-env G1 bench the learner update is <2% of an iteration, so
+    replication is the right default.
+
+    mode="sharded": ZeRO-1-style — every param/optimizer/normalizer leaf
+    whose leading axis divides the 'data' axis is partitioned over it, so
+    optimizer state and Adam moments live once across the fleet instead of
+    once per chip. XLA inserts the all-gather of params for rollout/grad
+    and reduce-scatters gradients into the sharded update automatically.
+    Use for very large policies or many-host meshes where the replicated
+    copies start to matter (BASELINE.md 4-host row).
+    Numerical equivalence vs a single device is gated by
+    tests/test_parallel.py::test_learner_sharding_equivalence."""
     replicated = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, replicated), ppo_state
-    )
+    if mode == "replicated":
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated), ppo_state
+        )
+    if mode != "sharded":
+        raise ValueError(f"unknown learner sharding mode: {mode!r}")
+    n = int(mesh.shape["data"])
+    row_sharded = NamedSharding(mesh, P("data"))
+
+    def place(x):
+        if (
+            hasattr(x, "shape")
+            and getattr(x, "ndim", 0) >= 1
+            and x.shape[0] >= n
+            and x.shape[0] % n == 0
+        ):
+            return jax.device_put(x, row_sharded)
+        return jax.device_put(x, replicated)
+
+    return jax.tree_util.tree_map(place, ppo_state)

@@ -66,11 +66,15 @@ _LM_PAIR_KEYS = {
 
 
 def hybrid_supported(m: Model) -> bool:
-    """True when the env-last fast path covers this model's features."""
-    if int(m.opt.cone) != 0:
-        return False  # lm constraint/solver implement the pyramid only
-    if m.ntendon or m.na:
-        return False  # lm engine predates tendons/activation dynamics
+    """True when the env-last fast path covers this model's features.
+
+    Both friction cones are supported (elliptic via the 3-zone env-last
+    solver, lm/solver.py); activation dynamics live entirely in the
+    vmapped actuation/integrate stages so na is unrestricted. Only
+    tendons remain excluded: their limit rows are not assembled by the
+    lm constraint (models with tendons fall back to the vmapped engine)."""
+    if m.ntendon:
+        return False
     pt = m.pairs
     if pt.ncon:
         t1 = np.asarray(m.geom_type)[pt.geom1]
@@ -205,6 +209,9 @@ def _use_pallas(m: Model, d: Data, E: int) -> bool:
         and E % 128 == 0
         and d.qpos.dtype == jnp.float32
         and m.nefc > 0
+        # the Pallas kernel implements independent per-row costs only;
+        # elliptic contacts (coupled (R, R) cone blocks) use solve_lm
+        and int(m.opt.cone) == 0
     )
 
 

@@ -307,7 +307,8 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
         fr = frame_k.reshape(K, 3, 3, E)
         Jc3 = jnp.einsum("kfxe,kvxe->kfve", fr, jacd)  # (K, 3, nv, E)
 
-        ndirs = R // 2
+        elliptic = int(m.opt.cone) != 0
+        ndirs = (R - 1) if elliptic else R // 2
         frictionless = dim_k == 1
         dir_need = np.array([3, 3, 4, 6, 6], np.float32)[:ndirs]
         mu_dirs = jnp.where(
@@ -323,38 +324,71 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
             jaca = cd_ang[None] * (W2 - W1)[:, :, None]  # (K, nv, 3, E)
             Ja = jnp.einsum("kfxe,kvxe->kfve", fr, jaca)
             dirJ += [Ja[:, 0], Ja[:, 1], Ja[:, 2]][: ndirs - 2]
-        rows_list = []
-        for i in range(ndirs):
-            rows_list.append(Jn + mu_dirs[:, i, None] * dirJ[i])
-            rows_list.append(Jn - mu_dirs[:, i, None] * dirJ[i])
-        rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv, E)
-
-        row_count = jnp.where(frictionless, 4.0, 2.0 * (jnp.maximum(dim_k, 3.0) - 1.0))
-        row_on = (
-            jnp.arange(R, dtype=dtype)[None, :, None] < row_count[:, None, :]
-        )  # (K, R, E) bool
-
-        mu1 = mu_dirs[:, 0]
-        diag_pyr = (
-            2.0 * mu1 * mu1 * (1.0 + mu1 * mu1) * invweight_t / m.opt.impratio
-        )
-        diag_approx = jnp.where(frictionless, invweight_t * 4.0, diag_pyr)
 
         pos_c = dist_k - margin_k  # (K, E)
-        imp, kk, bb, Dc = _efc_kbid(solref_k, solimp_k, pos_c, diag_approx)
         qv = jnp.stack(qvel)  # (nv, E)
-        vel = jnp.einsum("krve,ve->kre", rowsJ, qv)  # (K, R, E)
-        aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
+        if elliptic:
+            # elliptic rows [normal, t1, t2, torsion, roll1, roll2][:R]
+            # (mirrors phys/constraint.py:339-367, env-last):
+            #   D_i = D_n * impratio * (mu_i / mu_0)^2    (friction rows)
+            #   aref_n = -b vel_n - k imp pos; aref_i = -b vel_i
+            #   efc_pos/margin zero on friction rows
+            rows_list = [Jn] + [dirJ[i] for i in range(ndirs)]
+            rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv, E)
+            row_on = (
+                jnp.arange(R, dtype=dtype)[None, :, None]
+                < jnp.minimum(dim_k, float(R))[:, None, :]
+            )
+            imp, kk, bb, Dn = _efc_kbid(solref_k, solimp_k, pos_c, invweight_t)
+            mu0 = jnp.maximum(mu_dirs[:, 0], 1e-10)
+            ratio2 = jnp.square(mu_dirs / mu0[:, None])  # (K, ndirs, E)
+            D_rows = jnp.concatenate(
+                [Dn[:, None], Dn[:, None] * m.opt.impratio * ratio2], axis=1
+            )  # (K, R, E)
+            vel = jnp.einsum("krve,ve->kre", rowsJ, qv)
+            aref_c = -bb[:, None] * vel
+            aref_c = aref_c.at[:, 0].add(-kk * imp * pos_c)
+            zR1 = jnp.zeros((K, R - 1, E), dtype)
+            pos_rows = jnp.concatenate([dist_k[:, None], zR1], axis=1)
+            margin_rows = jnp.concatenate(
+                [jnp.broadcast_to(margin_k, (K, E))[:, None], zR1], axis=1
+            )
+        else:
+            rows_list = []
+            for i in range(ndirs):
+                rows_list.append(Jn + mu_dirs[:, i, None] * dirJ[i])
+                rows_list.append(Jn - mu_dirs[:, i, None] * dirJ[i])
+            rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv, E)
+
+            row_count = jnp.where(
+                frictionless, 4.0, 2.0 * (jnp.maximum(dim_k, 3.0) - 1.0)
+            )
+            row_on = (
+                jnp.arange(R, dtype=dtype)[None, :, None]
+                < row_count[:, None, :]
+            )  # (K, R, E) bool
+
+            mu1 = mu_dirs[:, 0]
+            diag_pyr = (
+                2.0 * mu1 * mu1 * (1.0 + mu1 * mu1) * invweight_t
+                / m.opt.impratio
+            )
+            diag_approx = jnp.where(frictionless, invweight_t * 4.0, diag_pyr)
+
+            imp, kk, bb, Dc = _efc_kbid(solref_k, solimp_k, pos_c, diag_approx)
+            vel = jnp.einsum("krve,ve->kre", rowsJ, qv)  # (K, R, E)
+            aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
+            D_rows = jnp.broadcast_to(Dc[:, None], (K, R, E))
+            pos_rows = jnp.broadcast_to(dist_k[:, None], (K, R, E))
+            margin_rows = jnp.broadcast_to(margin_k[:, None], (K, R, E))
 
         on = (sel_active[:, None] & row_on).reshape(KR, E)
         Jc = jnp.where(on[:, None, :], rowsJ.reshape(KR, nv, E), 0.0)
-        D_b.append(jnp.where(on, jnp.broadcast_to(Dc[:, None], (K, R, E)).reshape(KR, E), 0.0))
+        D_b.append(jnp.where(on, D_rows.reshape(KR, E), 0.0))
         aref_b.append(jnp.where(on, aref_c.reshape(KR, E), 0.0))
         fl_b.append(jnp.zeros((KR, E), dtype))
-        pos_b.append(jnp.broadcast_to(dist_k[:, None], (K, R, E)).reshape(KR, E))
-        margin_b.append(
-            jnp.broadcast_to(margin_k[:, None], (K, R, E)).reshape(KR, E)
-        )
+        pos_b.append(pos_rows.reshape(KR, E))
+        margin_b.append(margin_rows.reshape(KR, E))
         act_b.append(on)
 
         out.update(

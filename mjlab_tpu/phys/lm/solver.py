@@ -18,6 +18,105 @@ from mjlab_tpu.phys.lm.base import Params
 _EPS = 1e-12
 
 
+# ---------------------------------------------------------------------------
+# Elliptic friction cone, env-LAST (mirrors phys/solver.py _ell_* exactly;
+# every per-contact scalar is a (K, E) plane, per-row arrays are (K, R, E)).
+# ---------------------------------------------------------------------------
+
+
+def _ell_scaled_lm(jar_c, D_c, mu0, impratio):
+    sD = jnp.sqrt(D_c)  # (K, R, E)
+    x = jar_c * sD
+    xn = x[:, 0]  # (K, E)
+    t = x[:, 1:]  # (K, R-1, E)
+    T = jnp.sqrt(jnp.maximum(jnp.sum(t * t, axis=1), _EPS * _EPS))
+    mu_t = mu0 / jnp.sqrt(jnp.maximum(impratio, _EPS))  # (K, E)
+    mu_pos = mu_t > 1e-9
+    w = mu_t * xn + T
+    bottom = jnp.where(mu_pos, w <= 0, xn < 0)
+    top = (~bottom) & jnp.where(mu_pos, xn >= mu_t * T, xn >= 0)
+    mid = (~bottom) & (~top)
+    return dict(
+        sD=sD, x=x, xn=xn, t=t, T=T, mu=mu_t, w=w,
+        bottom=bottom, top=top, mid=mid, c1=1.0 + mu_t * mu_t,
+    )
+
+
+def _ell_force_lm(z, jar_c, D_c):
+    """(K, R, E) contact force rows = -grad s."""
+    f_quad = -D_c * jar_c
+    c1 = z["c1"]
+    fn_mid = z["sD"][:, 0] * (z["mu"] * z["w"] / c1 - z["xn"])  # (K, E)
+    ft_mid = -z["sD"][:, 1:] * z["t"] * (
+        1.0 - z["w"] / (c1 * z["T"])
+    )[:, None]
+    f_mid = jnp.concatenate([fn_mid[:, None], ft_mid], axis=1)
+    zero = jnp.zeros_like(jar_c)
+    return jnp.where(
+        z["bottom"][:, None], f_quad, jnp.where(z["mid"][:, None], f_mid, zero)
+    )
+
+
+def _ell_cost_lm(z):
+    """(E,) cost contribution of the contact block."""
+    norm2 = z["xn"] * z["xn"] + jnp.sum(z["t"] * z["t"], axis=1)
+    s_bot = 0.5 * norm2
+    s_mid = 0.5 * (norm2 - z["w"] * z["w"] / z["c1"])
+    return jnp.sum(
+        jnp.where(z["bottom"], s_bot, jnp.where(z["mid"], s_mid, 0.0)),
+        axis=0,
+    )
+
+
+def _ell_curv_lm(z, v_c, D_c):
+    """(E,) sum_k v^T (hess s) v for the line-search second derivative."""
+    vt = v_c * z["sD"]  # (K, R, E)
+    vn = vt[:, 0]
+    vtt = vt[:, 1:]
+    that = z["t"] / z["T"][:, None]
+    tv = jnp.sum(that * vtt, axis=1)  # (K, E)
+    quad = jnp.sum(vt * vt, axis=1)
+    gw = z["mu"] * vn + tv
+    mid_term = quad - (
+        gw * gw + (z["w"] / z["T"]) * (jnp.sum(vtt * vtt, axis=1) - tv * tv)
+    ) / z["c1"]
+    per_con = jnp.where(
+        z["bottom"], quad, jnp.where(z["mid"], jnp.maximum(mid_term, 0.0), 0.0)
+    )
+    return jnp.sum(per_con, axis=0)
+
+
+def _ell_hess_lm(z, D_c):
+    """(K, R, R, E) Hessian blocks of s for the Newton H assembly."""
+    K, R, E = D_c.shape
+    dtype = D_c.dtype
+    sD = z["sD"]
+    eye = jnp.eye(R, dtype=dtype)
+    that = z["t"] / z["T"][:, None]  # (K, R-1, E)
+    gradw = jnp.concatenate([z["mu"][:, None], that], axis=1)  # (K, R, E)
+    P_t = jnp.zeros((R, R), dtype).at[1:, 1:].set(jnp.eye(R - 1, dtype=dtype))
+    that_full = jnp.concatenate(
+        [jnp.zeros((K, 1, E), dtype), that], axis=1
+    )  # (K, R, E)
+    B_mid = (
+        eye[None, :, :, None]
+        - (
+            gradw[:, :, None] * gradw[:, None, :]
+            + (z["w"] / z["T"])[:, None, None]
+            * (P_t[None, :, :, None] - that_full[:, :, None] * that_full[:, None, :])
+        )
+        / z["c1"][:, None, None]
+    )
+    B_mid = sD[:, :, None] * B_mid * sD[:, None, :]
+    B_bot = eye[None, :, :, None] * D_c[:, :, None, :]
+    zero = jnp.zeros((K, R, R, E), dtype)
+    return jnp.where(
+        z["bottom"][:, None, None],
+        B_bot,
+        jnp.where(z["mid"][:, None, None], B_mid, zero),
+    )
+
+
 def _chol_solve_envlast(H, g, nv):
     """Solve H x = g, H (nv, nv, E) SPD, g (nv, E). Jacobi-equilibrated
     unrolled column Cholesky (mirrors solver._chol_solve_unrolled)."""
@@ -51,7 +150,10 @@ def _chol_solve_envlast(H, g, nv):
 
 def solve_lm(m: Model, P: Params, k: dict, a_smooth, x_ws, dtype):
     """Newton solve. a_smooth/x_ws: (nv, E). Returns dict with qacc (nv,E),
-    efc_force (nefc, E), qfrc_constraint (nv, E), con_force (K, 3, E)."""
+    efc_force (nefc, E), qfrc_constraint (nv, E). Handles both friction
+    cones: pyramidal rows are independent one-sided quadratics; elliptic
+    contacts get the 3-zone cone cost with per-contact (R, R) Hessian
+    blocks (phys/solver.py:120-230 semantics, env-last)."""
     nv = m.nv
     E = P.E
 
@@ -60,7 +162,6 @@ def solve_lm(m: Model, P: Params, k: dict, a_smooth, x_ws, dtype):
             qacc=a_smooth,
             qfrc_constraint=jnp.zeros((nv, E), dtype),
             efc_force=jnp.zeros((0, E), dtype),
-            con_force=jnp.zeros((m.ncon_max, 3, E), dtype),
         )
 
     D = k["efc_D"]  # (nefc, E)
@@ -116,7 +217,20 @@ def solve_lm(m: Model, P: Params, k: dict, a_smooth, x_ws, dtype):
             out = out + jnp.einsum("rve,re->ve", Jc, f[s_con])
         return out
 
-    def row_forces(jar):
+    K = m.ncon_max
+    R = m.rows_per_con
+    elliptic = bool(int(m.opt.cone) != 0 and K and m.pairs.ncon)
+    nc_end = s_con.start
+    if elliptic:
+        D_c = D[s_con].reshape(K, R, E)
+        mu0_k = k["con_mu_k"][:, 0]  # (K, E) slide friction
+
+        def ell_z(jar):
+            return _ell_scaled_lm(
+                jar[s_con].reshape(K, R, E), D_c, mu0_k, m.opt.impratio
+            )
+
+    def _base_forces(jar):
         f_quad = -D * jar
         one_sided = jnp.where(jar < 0, f_quad, 0.0)
         frf = jnp.clip(f_quad, -fl, fl)
@@ -126,14 +240,23 @@ def solve_lm(m: Model, P: Params, k: dict, a_smooth, x_ws, dtype):
         quad = (is_fr * quad_fr + is_eq + is_os * quad_os) * (D > 0)
         return force, quad
 
+    def row_forces(jar):
+        f, q = _base_forces(jar)
+        if not elliptic:
+            return f, q, None
+        z = ell_z(jar)
+        fc = _ell_force_lm(z, jar[s_con].reshape(K, R, E), D_c)
+        return jnp.concatenate([f[:nc_end], fc.reshape(-1, E)]), q, z
+
     def cost_rows(jar):
         quad_cost = 0.5 * D * jar * jar
         lin_cost = fl * jnp.abs(jar) - 0.5 * fl * fl / jnp.maximum(D, _EPS)
         fr_cost = jnp.where(jnp.abs(D * jar) <= fl, quad_cost, lin_cost)
         os_cost = jnp.where(jar < 0, quad_cost, 0.0)
-        return jnp.sum(
-            is_fr * fr_cost + is_eq * quad_cost + is_os * os_cost, axis=0
-        )
+        per_row = is_fr * fr_cost + is_eq * quad_cost + is_os * os_cost
+        if not elliptic:
+            return jnp.sum(per_row, axis=0)
+        return jnp.sum(per_row[:nc_end], axis=0) + _ell_cost_lm(ell_z(jar))
 
     def cost_from_jar(x, jar):
         dx = x - a_smooth
@@ -153,7 +276,7 @@ def solve_lm(m: Model, P: Params, k: dict, a_smooth, x_ws, dtype):
 
     def newton_iter(carry):
         i, x, jar, cost_x, done = carry
-        force, quad = row_forces(jar)
+        force, quad, z_h = row_forces(jar)
         grad = Mv(x - a_smooth) - JTmul(force)
         Dq = quad * D  # (nefc, E)
         diag = Dq[s_fr]  # (nv, E)
@@ -164,7 +287,13 @@ def solve_lm(m: Model, P: Params, k: dict, a_smooth, x_ws, dtype):
             diag = diag + add
         H = M + jnp.eye(nv, dtype=dtype)[:, :, None] * diag[None]
         if Jc.shape[0]:
-            H = H + jnp.einsum("rve,re,rwe->vwe", Jc, Dq[s_con], Jc)
+            if elliptic:
+                B = _ell_hess_lm(z_h, D_c)  # (K, R, R, E)
+                Jb = Jc.reshape(K, R, nv, E)
+                BJ = jnp.einsum("krse,ksve->krve", B, Jb)
+                H = H + jnp.einsum("krve,krwe->vwe", Jb, BJ)
+            else:
+                H = H + jnp.einsum("rve,re,rwe->vwe", Jc, Dq[s_con], Jc)
         if neq:
             H = H + jnp.einsum("rve,re,rwe->vwe", Jeq, Dq[:neq], Jeq)
         dx = -_chol_solve_envlast(H, grad, nv)
@@ -175,9 +304,14 @@ def solve_lm(m: Model, P: Params, k: dict, a_smooth, x_ws, dtype):
 
         def dphi(a):  # a (E,)
             jar_a = jar + a * v
-            f_a, quad_a = row_forces(jar_a)
+            f_a, quad_a, z_a = row_forces(jar_a)
             d1 = q1 + a * q2 - jnp.sum(v * f_a, axis=0)
-            d2 = q2 + jnp.sum(D * quad_a * v * v, axis=0)
+            if elliptic:
+                d2 = q2 + jnp.sum(
+                    (D * quad_a * v * v)[:nc_end], axis=0
+                ) + _ell_curv_lm(z_a, v[s_con].reshape(K, R, E), D_c)
+            else:
+                d2 = q2 + jnp.sum(D * quad_a * v * v, axis=0)
             return d1, d2
 
         g0, _ = dphi(jnp.zeros((E,), dtype))
@@ -218,31 +352,13 @@ def solve_lm(m: Model, P: Params, k: dict, a_smooth, x_ws, dtype):
     )
 
     jar = Jmul(x) - aref
-    force, _ = row_forces(jar)
+    force, _, _ = row_forces(jar)
     qfrc_constraint = JTmul(force)
 
-    # per-contact world force decode (compacted slots), env-last
-    K = m.ncon_max
-    R = m.rows_per_con
-    con_force = jnp.zeros((K, 3, E), dtype)
-    if K and m.pairs.ncon:
-        rows = force[s_con].reshape(K, R, E)
-        mu = k["con_mu_k"]  # (K, 5, E)
-        fr9 = k["con_frame_k"]  # (K, 9, E)
-        dim_k = k["con_dim_k"]  # (K, E)
-        mu1 = jnp.where(dim_k == 1, 0.0, mu[:, 0])
-        mu2 = jnp.where(dim_k == 1, 0.0, mu[:, 1])
-        fn = jnp.sum(rows, axis=1)  # (K, E)
-        ft1 = mu1 * (rows[:, 0] - rows[:, 1])
-        ft2 = mu2 * (rows[:, 2] - rows[:, 3])
-        fc = jnp.stack([fn, ft1, ft2], axis=1)  # (K, 3, E) contact frame
-        frm = fr9.reshape(K, 3, 3, E)
-        fw = jnp.einsum("kfe,kfxe->kxe", fc, frm)
-        con_force = jnp.where(k["con_sel_active"][:, None], fw, 0.0)
-
+    # (world-frame contact force/torque decode happens once, env-first, in
+    # hybrid.forward_hybrid via solver._decode_contact_forces_batched)
     return dict(
         qacc=x,
         efc_force=force,
         qfrc_constraint=qfrc_constraint,
-        con_force=con_force,
     )

@@ -60,6 +60,11 @@ class RslRlBaseRunnerCfg:
     load_run: str = ".*"
     load_checkpoint: str = "model_.*.ckpt"
     clip_actions: float | None = None
+    # multi-chip learner placement (mjlab_tpu extension; the reference's
+    # NCCL DDP is always replicated): "replicated" = DDP layout,
+    # "sharded" = ZeRO-1-style optimizer/param sharding over the 'data'
+    # mesh axis (see parallel/mesh.py:shard_train_state)
+    learner_sharding: Literal["replicated", "sharded"] = "replicated"
 
 
 @dataclass

@@ -123,7 +123,10 @@ class OnPolicyRunner:
             mesh = make_env_mesh(devices)
             env_state = shard_env_state(env_state, mesh, env.num_envs)
             obs = shard_env_state(obs, mesh, env.num_envs)
-            self.ppo_state = shard_train_state(self.ppo_state, mesh)
+            self.ppo_state = shard_train_state(
+                self.ppo_state, mesh,
+                mode=getattr(self.cfg, "learner_sharding", "replicated"),
+            )
 
         carry = (self.ppo_state, env_state, obs)
         steps_per_iter = self.cfg.num_steps_per_env * env.num_envs
