@@ -116,18 +116,37 @@ def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
     return out
 
 
+def _euler_mh(m: Model, d: Data) -> jax.Array:
+    """Implicit-damping Euler system matrix M + h B."""
+    return d.qM + m.opt.timestep * jnp.diag(m.dof_damping)
+
+
 def _euler_qacc(m: Model, d: Data) -> jax.Array:
     """Implicit-in-damping velocity update: (M + h B) a' = M a."""
     if (m.opt.disableflags & DSBL_EULERDAMP):
         return d.qacc
-    h = m.opt.timestep
-    Mh = d.qM + h * jnp.diag(m.dof_damping)
+    Mh = _euler_mh(m, d)
     Li = linalg.tri_inv(linalg.chol_factor_blocked(Mh))
     return linalg.chol_solve_inv(Li, d.qM @ d.qacc, Mh)
 
 
-def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
-    """(M - h dF/dv) a' = M a with dF/dv = -diag(damping) + moment^T G moment."""
+def integrator_mh(m: Model, d: Data) -> jax.Array | None:
+    """System matrix of the integrator's implicit velocity update, or
+    None when the update is explicit (plain Euler with damping disabled).
+    Exposed so the hybrid fast path can fold the factor+solve into the
+    Pallas kernel (hybrid.py) instead of paying a second XLA dense
+    factorization per substep."""
+    if m.opt.integrator == INT_IMPLICITFAST:
+        return _implicitfast_mh(m, d)
+    if m.opt.integrator == INT_EULER and not (
+        m.opt.disableflags & DSBL_EULERDAMP
+    ):
+        return _euler_mh(m, d)
+    return None
+
+
+def _implicitfast_mh(m: Model, d: Data) -> jax.Array:
+    """(M - h dF/dv) with dF/dv = -diag(damping) + moment^T G moment."""
     h = m.opt.timestep
     Mh = d.qM + h * jnp.diag(m.dof_damping)
     if m.ntendon:
@@ -138,6 +157,11 @@ def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
     if m.nu:
         dfdv = _actuator_vel_deriv(m, d)
         Mh = Mh - h * (d.actuator_moment.T * dfdv) @ d.actuator_moment
+    return Mh
+
+
+def _implicitfast_qacc(m: Model, d: Data) -> jax.Array:
+    Mh = _implicitfast_mh(m, d)
     Li = linalg.tri_inv(linalg.chol_factor_blocked(Mh))
     return linalg.chol_solve_inv(Li, d.qM @ d.qacc, Mh)
 
@@ -148,15 +172,19 @@ def step(m: Model, d: Data) -> Data:
     return integrate(m, d)
 
 
-def integrate(m: Model, d: Data) -> Data:
-    """Post-solve integration + activation advance + mj_check reset."""
+def integrate(m: Model, d: Data, qacc_int: jax.Array | None = None) -> Data:
+    """Post-solve integration + activation advance + mj_check reset.
+
+    qacc_int: precomputed implicit velocity update (the hybrid fast path
+    solves it inside the constraint kernel); None computes it here."""
     h = m.opt.timestep
-    if m.opt.integrator == INT_EULER:
-        qacc_int = _euler_qacc(m, d)
-    elif m.opt.integrator == INT_IMPLICITFAST:
-        qacc_int = _implicitfast_qacc(m, d)
-    else:
-        raise NotImplementedError(f"integrator {m.opt.integrator}")
+    if qacc_int is None:
+        if m.opt.integrator == INT_EULER:
+            qacc_int = _euler_qacc(m, d)
+        elif m.opt.integrator == INT_IMPLICITFAST:
+            qacc_int = _implicitfast_qacc(m, d)
+        else:
+            raise NotImplementedError(f"integrator {m.opt.integrator}")
     qvel = d.qvel + h * qacc_int
     qpos = _integrate_pos(m, d.qpos, qvel, h)
     # advance activation states (mj_advance: Euler, exact for filterexact)

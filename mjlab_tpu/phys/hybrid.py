@@ -90,9 +90,12 @@ def _planes_from(arr_t, n, w):
     return [tuple(arr_t[i, j] for j in range(w)) for i in range(n)]
 
 
-def _contact_envlast(m: Model, bf: frozenset, d: Data):
+def _contact_envlast(m: Model, bf: frozenset, d: Data,
+                     assemble_j: bool = True):
     """Env-last narrowphase + compaction + constraint rows. Returns the
-    lm `k` dict (holding all env-last efc arrays) and the Params view."""
+    lm `k` dict (holding all env-last efc arrays) and the Params view.
+    assemble_j=False defers the contact-Jacobian build to the fused
+    Pallas assemble+solve kernel (see make_constraint_lm)."""
     E = d.qpos.shape[0]
     dtype = d.qpos.dtype
     P = Params(m, bf, E)
@@ -114,7 +117,7 @@ def _contact_envlast(m: Model, bf: frozenset, d: Data):
     vT = d.qvel.T
     q = tuple(qT[i] for i in range(m.nq))
     qvel = tuple(vT[i] for i in range(m.nv))
-    k = make_constraint_lm(m, P, k, q, qvel, dtype)
+    k = make_constraint_lm(m, P, k, q, qvel, dtype, assemble_j=assemble_j)
     return k, P
 
 
@@ -202,17 +205,100 @@ def _batched_stage(fn, m_axes):
 def _use_pallas(m: Model, d: Data, E: int) -> bool:
     import os
 
-    mode = os.environ.get("MJLAB_TPU_SOLVER", "auto")  # auto|pure|pallas
+    mode = os.environ.get("MJLAB_TPU_SOLVER", "auto")
     return (
         mode != "pure"
         and (jax.default_backend() != "cpu" or mode == "pallas")
         and E % 128 == 0
         and d.qpos.dtype == jnp.float32
         and m.nefc > 0
-        # the Pallas kernel implements independent per-row costs only;
+        # the Pallas kernels implement independent per-row costs only;
         # elliptic contacts (coupled (R, R) cone blocks) use solve_lm
         and int(m.opt.cone) == 0
     )
+
+
+def _use_pallas2(m: Model, d: Data, E: int) -> bool:
+    """Fused assembly+solve kernel (solver_pallas2.py): the production
+    TPU hot path. MJLAB_TPU_SOLVER=auto|pallas2 selects it; =pallas keeps
+    the round-2 solve-only kernel (XLA-side assembly); =pure uses
+    solve_lm. Requires the lean step (the full writeback needs the
+    XLA-assembled efc rows)."""
+    import os
+
+    mode = os.environ.get("MJLAB_TPU_SOLVER", "auto")
+    return (
+        mode in ("auto", "pallas2")
+        and (jax.default_backend() != "cpu" or mode == "pallas2"
+             or os.environ.get("MJLAB_TPU_SOLVER_INTERPRET"))
+        and E % 128 == 0
+        and d.qpos.dtype == jnp.float32
+        and int(m.opt.cone) == 0
+        and m.ncon_max > 0
+        and m.pairs.ncon > 0
+        and m.nlimit > 0  # kernel assumes a nonempty limit block
+        and m.rows_per_con % 2 == 0
+    )
+
+
+def _solve_pallas2_envlast(m: Model, k: dict, d: Data, Mh) -> dict:
+    """Launch the fused assembly+solve kernel from the compact per-slot
+    tensors (make_constraint_lm assemble_j=False outputs). Mh is the
+    integrator's implicit system matrix (E, nv, nv) or None; when given,
+    the kernel also returns the integrated qacc (fwd.integrate skips its
+    own dense factorization)."""
+    import os
+
+    from mjlab_tpu.phys.solver_pallas2 import newton_assemble_solve
+
+    E = d.qpos.shape[0]
+    nv = m.nv
+    K = m.ncon_max
+    R = m.rows_per_con
+    ndirs = R // 2
+    neq = m.neq_jnt
+    nlim = m.nlimit
+    NC = neq + nv + nlim
+
+    def cm(x):  # (K, w, E) -> component-major (w*K, E)
+        return jnp.moveaxis(x, 0, 1).reshape(-1, E)
+
+    Jeq = jnp.broadcast_to(k["efc_Jeq"], (neq, nv, E)).reshape(neq * nv, E)
+    cdofT = jnp.moveaxis(d.cdof, 0, -1).reshape(nv * 6, E)
+    on_rm = jnp.moveaxis(
+        k["con_on"].reshape(K, R, E), 0, 1
+    ).reshape(R * K, E).astype(jnp.float32)
+    do_int = Mh is not None
+    Mh_cm = (
+        jnp.moveaxis(Mh, 0, -1).reshape(nv * nv, E) if do_int else None
+    )  # (i, j, E) row-major flattened == column-major of Mh^T == Mh (SPD)
+
+    x, fnc, fcon_rm, qfrc, a_smooth, qacc_int = newton_assemble_solve(
+        jnp.swapaxes(k["qM_dense"], 0, 1).reshape(nv * nv, E),
+        d.qfrc_smooth.T, d.qacc_warmstart.T, d.qvel.T, Mh_cm,
+        k["efc_D"][:NC], k["efc_aref"][:NC], k["efc_fl"][:NC],
+        k["efc_lim_side"], Jeq,
+        cdofT, cm(k["con_pos_k"]), cm(k["con_O1"]), cm(k["con_O2"]),
+        cm(k["con_frame_k"]), cm(k["con_mu_dirs"]),
+        k["con_Dc"], k["con_bb"], k["con_kimp"], on_rm,
+        cm(k["con_W1"]), cm(k["con_W2"]),
+        nv=nv, K=K, R=R, ndirs=ndirs, neq=neq, nlim=nlim,
+        lim_dofs=tuple(int(a) for a in m.jnt_dofadr[m.limit_jntid]),
+        iterations=m.opt.iterations,
+        ls_iterations=max(m.opt.ls_iterations, 8),
+        tolerance=float(m.opt.tolerance),
+        do_int=do_int,
+        interpret=bool(os.environ.get("MJLAB_TPU_SOLVER_INTERPRET")),
+    )
+    fcon = jnp.moveaxis(fcon_rm.reshape(R, K, E), 0, 1).reshape(R * K, E)
+    force = jnp.concatenate([fnc, fcon], axis=0)
+    out = dict(
+        qacc=x, efc_force=force, qfrc_constraint=qfrc,
+        qacc_smooth=a_smooth,
+    )
+    if do_int:
+        out["qacc_int"] = qacc_int
+    return out
 
 
 def _solve_pallas_envlast(m: Model, k: dict, d: Data) -> dict:
@@ -260,30 +346,57 @@ def _solve_pallas_envlast(m: Model, k: dict, d: Data) -> dict:
     return dict(qacc=x, efc_force=force, qfrc_constraint=qfrc_constraint)
 
 
-def forward_hybrid(m: Model, bf: frozenset, d: Data, m_axes,
-                   lean: bool = False) -> Data:
-    """Batched mj_forward. d is env-first batched; m may carry DR-batched
-    fields (axis 0) per `bf`/`m_axes`. lean skips the introspection-only
-    writebacks (see _writeback_position)."""
+def _forward_hybrid_impl(m: Model, bf: frozenset, d: Data, m_axes,
+                         lean: bool):
+    """Batched mj_forward; returns (Data, qacc_int or None) — qacc_int is
+    the integrator's implicit velocity update when the fused kernel
+    already solved it (step_hybrid then skips the XLA factorization)."""
     vm = lambda f: _batched_stage(f, m_axes)  # noqa: E731
+    E = d.qpos.shape[0]
+    # the fused assembly+solve kernel owns the contact J/D/aref rows, so
+    # the XLA-side assembly is skipped — only valid on the lean hot path
+    # (the full writeback exposes the XLA-assembled efc rows)
+    use2 = lean and _use_pallas2(m, d, E)
     d = vm(kinematics)(m, d)
     d = vm(com_pos)(m, d)
-    d = vm(smooth.crb)(m, d)
-    k, P = _contact_envlast(m, bf, d)
+    # use2: qLD/qLDinv have no consumer (solve_m and the integrator solve
+    # both run inside the kernel) — skip the XLA dense factor+inverse
+    d = vm(lambda mm, dd: smooth.crb(mm, dd, factor=not use2))(m, d)
+    k, P = _contact_envlast(m, bf, d, assemble_j=not use2)
     d = _writeback_position(m, d, k, P, lean=lean)
     d = vm(smooth.transmission)(m, d)
     d = vm(smooth.com_vel)(m, d)
     d = vm(smooth.rne)(m, d)
     d = vm(smooth.passive)(m, d)
     d = vm(smooth.fwd_actuation)(m, d)
-    d = vm(fwd.fwd_acceleration)(m, d)
 
-    # env-last Newton solve on the k-resident constraint arrays
-    E = d.qpos.shape[0]
+    qacc_int = None
     k["qM_dense"] = jnp.moveaxis(d.qM, 0, -1)  # (nv, nv, E)
-    if _use_pallas(m, d, E):
+    if use2:
+        # qfrc_smooth only — qacc_smooth comes back from the kernel
+        def accel_frc(mm, dd):
+            qfrc_smooth = (
+                dd.qfrc_passive - dd.qfrc_bias + dd.qfrc_actuator
+                + dd.qfrc_applied + smooth.xfrc_accumulate(mm, dd)
+            )
+            return dd.replace(qfrc_smooth=qfrc_smooth)
+
+        d = vm(accel_frc)(m, d)
+        # integrator_mh is a static decision on the model options; build
+        # the batched system matrix only when an implicit update runs
+        Mh = (
+            jax.vmap(fwd.integrator_mh, in_axes=(m_axes, 0))(m, d)
+            if _has_implicit(m) else None
+        )
+        sol = _solve_pallas2_envlast(m, k, d, Mh)
+        d = d.replace(qacc_smooth=sol["qacc_smooth"].T)
+        if "qacc_int" in sol:
+            qacc_int = sol["qacc_int"].T
+    elif _use_pallas(m, d, E):
+        d = vm(fwd.fwd_acceleration)(m, d)
         sol = _solve_pallas_envlast(m, k, d)
     else:
+        d = vm(fwd.fwd_acceleration)(m, d)
         sol = solve_lm(
             m, P, k, d.qacc_smooth.T, d.qacc_warmstart.T, d.qpos.dtype
         )
@@ -298,6 +411,27 @@ def forward_hybrid(m: Model, bf: frozenset, d: Data, m_axes,
     if m.ncon_max and m.pairs.ncon:
         cf, ct = _decode_contact_forces_batched(m, d, efc_force)
         d = d.replace(con_force_c=cf, con_torque_c=ct)
+    return d, qacc_int
+
+
+def _has_implicit(m: Model) -> bool:
+    from mjlab_tpu.phys.model import (
+        DSBL_EULERDAMP, INT_EULER, INT_IMPLICITFAST,
+    )
+
+    if m.opt.integrator == INT_IMPLICITFAST:
+        return True
+    return m.opt.integrator == INT_EULER and not (
+        m.opt.disableflags & DSBL_EULERDAMP
+    )
+
+
+def forward_hybrid(m: Model, bf: frozenset, d: Data, m_axes,
+                   lean: bool = False) -> Data:
+    """Batched mj_forward. d is env-first batched; m may carry DR-batched
+    fields (axis 0) per `bf`/`m_axes`. lean skips the introspection-only
+    writebacks (see _writeback_position)."""
+    d, _ = _forward_hybrid_impl(m, bf, d, m_axes, lean)
     return d
 
 
@@ -306,5 +440,7 @@ def step_hybrid(m: Model, bf: frozenset, d: Data, m_axes,
     """Batched mj_step with env-last hot stages. The decimation hot loop
     runs lean (no full packed-table/efc writeback); pass lean=False for
     parity tests that diff the whole Data surface."""
-    d = forward_hybrid(m, bf, d, m_axes, lean=lean)
-    return _batched_stage(fwd.integrate, m_axes)(m, d)
+    d, qacc_int = _forward_hybrid_impl(m, bf, d, m_axes, lean)
+    if qacc_int is None:
+        return _batched_stage(fwd.integrate, m_axes)(m, d)
+    return jax.vmap(fwd.integrate, in_axes=(m_axes, 0, 0))(m, d, qacc_int)

@@ -82,7 +82,19 @@ def sel_static(table, sel):
     return t[sel] if t.ndim == 1 else t[sel]  # XLA constant-gather
 
 
-def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
+def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype,
+                       assemble_j: bool = True):
+    """Env-last constraint row assembly.
+
+    assemble_j=False (pyramidal cone only) skips materializing the dense
+    contact Jacobian block (jacd/rowsJ: ~140 MB of HBM round trips per
+    substep at 4096 envs — half the r3 trace's constraint cost) and
+    instead stores the compact per-slot tensors the fused Pallas
+    assemble+solve kernel (phys/solver_pallas2.py) rebuilds J from in
+    VMEM: con_W1/W2 (ancestor dof masks), con_O1/O2 (root COMs),
+    con_mu_dirs, con_on (row activity), con_Dc/con_bb/con_kimp (row
+    stiffness and aref coefficients). The contact slices of efc_D/aref
+    are left zero in this mode — the kernel owns them."""
     nv = m.nv
     neq = m.neq_jnt
     nlimit = m.nlimit
@@ -281,33 +293,34 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
             iw_slot2 = jnp.einsum("kbe,be->ke", ohb2, iw_body)
         invweight_t = iw_slot1 + iw_slot2  # (K, E)
 
-        # point Jacobians
-        cd = k["cdof"]  # list of 6-plane tuples
-        cd_ang = jnp.stack([jnp.stack(c[:3]) for c in cd])  # (nv, 3, E)
-        cd_lin = jnp.stack([jnp.stack(c[3:]) for c in cd])
-        cd_ang = jnp.broadcast_to(cd_ang, (nv, 3, E))
-        cd_lin = jnp.broadcast_to(cd_lin, (nv, 3, E))
-
-        def point_jac(Wr, Ob):
-            r = pos_k - Ob  # (K, 3, E)
-            # cross(cd_ang, r): (K, nv, 3, E)
-            a = cd_ang[None]
-            rx = r[:, None]
-            cx = jnp.stack(
-                [
-                    a[:, :, 1] * rx[:, :, 2] - a[:, :, 2] * rx[:, :, 1],
-                    a[:, :, 2] * rx[:, :, 0] - a[:, :, 0] * rx[:, :, 2],
-                    a[:, :, 0] * rx[:, :, 1] - a[:, :, 1] * rx[:, :, 0],
-                ],
-                axis=2,
-            )
-            return (cd_lin[None] + cx) * Wr[:, :, None]
-
-        jacd = point_jac(W2, O2) - point_jac(W1, O1)  # (K, nv, 3, E)
-        fr = frame_k.reshape(K, 3, 3, E)
-        Jc3 = jnp.einsum("kfxe,kvxe->kfve", fr, jacd)  # (K, 3, nv, E)
-
         elliptic = int(m.opt.cone) != 0
+        if elliptic or assemble_j:
+            # point Jacobians
+            cd = k["cdof"]  # list of 6-plane tuples
+            cd_ang = jnp.stack([jnp.stack(c[:3]) for c in cd])  # (nv, 3, E)
+            cd_lin = jnp.stack([jnp.stack(c[3:]) for c in cd])
+            cd_ang = jnp.broadcast_to(cd_ang, (nv, 3, E))
+            cd_lin = jnp.broadcast_to(cd_lin, (nv, 3, E))
+
+            def point_jac(Wr, Ob):
+                r = pos_k - Ob  # (K, 3, E)
+                # cross(cd_ang, r): (K, nv, 3, E)
+                a = cd_ang[None]
+                rx = r[:, None]
+                cx = jnp.stack(
+                    [
+                        a[:, :, 1] * rx[:, :, 2] - a[:, :, 2] * rx[:, :, 1],
+                        a[:, :, 2] * rx[:, :, 0] - a[:, :, 0] * rx[:, :, 2],
+                        a[:, :, 0] * rx[:, :, 1] - a[:, :, 1] * rx[:, :, 0],
+                    ],
+                    axis=2,
+                )
+                return (cd_lin[None] + cx) * Wr[:, :, None]
+
+            jacd = point_jac(W2, O2) - point_jac(W1, O1)  # (K, nv, 3, E)
+            fr = frame_k.reshape(K, 3, 3, E)
+            Jc3 = jnp.einsum("kfxe,kvxe->kfve", fr, jacd)  # (K, 3, nv, E)
+
         ndirs = (R - 1) if elliptic else R // 2
         frictionless = dim_k == 1
         dir_need = np.array([3, 3, 4, 6, 6], np.float32)[:ndirs]
@@ -318,12 +331,13 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
             0.0,
         )  # (K, ndirs, E)
 
-        Jn, Jt1, Jt2 = Jc3[:, 0], Jc3[:, 1], Jc3[:, 2]
-        dirJ = [Jt1, Jt2]
-        if ndirs > 2:
-            jaca = cd_ang[None] * (W2 - W1)[:, :, None]  # (K, nv, 3, E)
-            Ja = jnp.einsum("kfxe,kvxe->kfve", fr, jaca)
-            dirJ += [Ja[:, 0], Ja[:, 1], Ja[:, 2]][: ndirs - 2]
+        if elliptic or assemble_j:
+            Jn, Jt1, Jt2 = Jc3[:, 0], Jc3[:, 1], Jc3[:, 2]
+            dirJ = [Jt1, Jt2]
+            if ndirs > 2:
+                jaca = cd_ang[None] * (W2 - W1)[:, :, None]  # (K, nv, 3, E)
+                Ja = jnp.einsum("kfxe,kvxe->kfve", fr, jaca)
+                dirJ += [Ja[:, 0], Ja[:, 1], Ja[:, 2]][: ndirs - 2]
 
         pos_c = dist_k - margin_k  # (K, E)
         qv = jnp.stack(qvel)  # (nv, E)
@@ -354,12 +368,6 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
                 [jnp.broadcast_to(margin_k, (K, E))[:, None], zR1], axis=1
             )
         else:
-            rows_list = []
-            for i in range(ndirs):
-                rows_list.append(Jn + mu_dirs[:, i, None] * dirJ[i])
-                rows_list.append(Jn - mu_dirs[:, i, None] * dirJ[i])
-            rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv, E)
-
             row_count = jnp.where(
                 frictionless, 4.0, 2.0 * (jnp.maximum(dim_k, 3.0) - 1.0)
             )
@@ -376,20 +384,44 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype):
             diag_approx = jnp.where(frictionless, invweight_t * 4.0, diag_pyr)
 
             imp, kk, bb, Dc = _efc_kbid(solref_k, solimp_k, pos_c, diag_approx)
-            vel = jnp.einsum("krve,ve->kre", rowsJ, qv)  # (K, R, E)
-            aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
-            D_rows = jnp.broadcast_to(Dc[:, None], (K, R, E))
             pos_rows = jnp.broadcast_to(dist_k[:, None], (K, R, E))
             margin_rows = jnp.broadcast_to(margin_k[:, None], (K, R, E))
+            if assemble_j:
+                rows_list = []
+                for i in range(ndirs):
+                    rows_list.append(Jn + mu_dirs[:, i, None] * dirJ[i])
+                    rows_list.append(Jn - mu_dirs[:, i, None] * dirJ[i])
+                rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv, E)
+                vel = jnp.einsum("krve,ve->kre", rowsJ, qv)  # (K, R, E)
+                aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
+                D_rows = jnp.broadcast_to(Dc[:, None], (K, R, E))
 
-        on = (sel_active[:, None] & row_on).reshape(KR, E)
-        Jc = jnp.where(on[:, None, :], rowsJ.reshape(KR, nv, E), 0.0)
-        D_b.append(jnp.where(on, D_rows.reshape(KR, E), 0.0))
-        aref_b.append(jnp.where(on, aref_c.reshape(KR, E), 0.0))
-        fl_b.append(jnp.zeros((KR, E), dtype))
-        pos_b.append(pos_rows.reshape(KR, E))
-        margin_b.append(margin_rows.reshape(KR, E))
-        act_b.append(on)
+        if not (elliptic or assemble_j):
+            # kernel mode: compact tensors for the fused assemble+solve
+            # kernel; efc contact slices stay zero (the kernel owns them)
+            on = (sel_active[:, None] & row_on).reshape(KR, E)
+            out.update(
+                con_W1=W1, con_W2=W2, con_O1=O1, con_O2=O2,
+                con_mu_dirs=mu_dirs, con_on=on,
+                con_Dc=jnp.where(sel_active, Dc, 0.0),
+                con_bb=bb, con_kimp=kk * imp * pos_c,
+            )
+            zKR = jnp.zeros((KR, E), dtype)
+            D_b.append(zKR)
+            aref_b.append(zKR)
+            fl_b.append(zKR)
+            pos_b.append(pos_rows.reshape(KR, E))
+            margin_b.append(margin_rows.reshape(KR, E))
+            act_b.append(on)
+        else:
+            on = (sel_active[:, None] & row_on).reshape(KR, E)
+            Jc = jnp.where(on[:, None, :], rowsJ.reshape(KR, nv, E), 0.0)
+            D_b.append(jnp.where(on, D_rows.reshape(KR, E), 0.0))
+            aref_b.append(jnp.where(on, aref_c.reshape(KR, E), 0.0))
+            fl_b.append(jnp.zeros((KR, E), dtype))
+            pos_b.append(pos_rows.reshape(KR, E))
+            margin_b.append(margin_rows.reshape(KR, E))
+            act_b.append(on)
 
         out.update(
             con_sel=sel, con_sel_active=sel_active,

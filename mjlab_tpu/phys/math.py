@@ -218,7 +218,22 @@ def spatial_inertia(mass: jax.Array, inertia_c: jax.Array, com: jax.Array) -> ja
     """
     cx = skew(com)
     m = mass[..., None, None]
-    top_left = inertia_c - m * (cx @ cx)
+    # skew(c)^2 == c c^T - (c.c) I, written out component-wise: batched
+    # (..., 3, 3) dot_generals lower to bf16 3-pass MXU matmuls with
+    # lane-padded (3, 3) tiles plus layout-flip copies (round-3 trace:
+    # ~1.7 ms/substep at 4096 envs in this stage) — explicit products
+    # keep the whole stage in one elementwise fusion.
+    c0, c1, c2 = com[..., 0], com[..., 1], com[..., 2]
+    cc = c0 * c0 + c1 * c1 + c2 * c2
+    cxcx = jnp.stack(
+        [
+            c0 * c0 - cc, c0 * c1, c0 * c2,
+            c1 * c0, c1 * c1 - cc, c1 * c2,
+            c2 * c0, c2 * c1, c2 * c2 - cc,
+        ],
+        axis=-1,
+    ).reshape(com.shape[:-1] + (3, 3))
+    top_left = inertia_c - m * cxcx
     top_right = m * cx
     eye = jnp.broadcast_to(jnp.eye(3, dtype=cx.dtype), cx.shape)
     bottom_left = -m * cx  # == m * cx.T

@@ -79,13 +79,19 @@ def _crb_static(m: Model):
     return out
 
 
-def crb(m: Model, d: Data) -> Data:
+def crb(m: Model, d: Data, factor: bool = True) -> Data:
     """Dense joint-space inertia matrix qM and its Cholesky factor qLD.
 
     Classic composite-rigid-body form (mj_crb semantics): accumulate
     subtree spatial inertias I_c, then M[i, j] = cdof_i . (I_c(body_j)
     cdof_j) for ancestor pairs. O(nbody^2 + nv^2) tiny batched matmuls —
-    ~100x less memory traffic than the per-body masked-Jacobian einsum."""
+    ~100x less memory traffic than the per-body masked-Jacobian einsum.
+
+    factor=False skips the qLD/qLDinv factorization (hybrid fast path:
+    both consumers — solve_m and the integrator solve — run inside the
+    fused Pallas kernel, so the XLA dense factor+inverse would be dead
+    work; qLD/qLDinv then keep their previous values like the other
+    lean-mode introspection fields)."""
     dtype = d.qpos.dtype
     S, dof_body, U = _crb_static(m)
     nb = m.nbody
@@ -101,6 +107,8 @@ def crb(m: Model, d: Data) -> Data:
     upper = full * Um  # valid where i is ancestor-or-self of j
     qM = upper + upper.T - jnp.diag(jnp.diagonal(upper))
     qM = qM + jnp.diag(m.dof_armature)
+    if not factor:
+        return d.replace(qM=qM)
     qLD = linalg.chol_factor_blocked(qM)
     qLDinv = linalg.tri_inv(qLD)
     return d.replace(qM=qM, qLD=qLD, qLDinv=qLDinv)

@@ -1,0 +1,464 @@
+"""Fused Pallas TPU kernel: contact-Jacobian ASSEMBLY + Newton solve.
+
+Round-3 trace (PERF_NOTES.md): at 4096 envs the env-last constraint
+assembly (lm/constraint.py) cost 8.0 ms/substep — more than the Newton
+solve itself (3.2 ms) — almost all of it materializing the (K, nv, 3, E)
+point-Jacobian and (K, R, nv, E) pyramid rows through HBM plus ~15
+under-fused XLA ops around them. This kernel rebuilds the contact block
+IN VMEM from the compact per-slot tensors (positions, frames, ancestor
+dof masks, friction dirs) and runs the entire Newton solve on it:
+
+    per 128-env block (f32):
+      W1, W2     (K, nv, 128)   1.25 MB   ancestor dof masks
+      geo        (K, ~21, 128)  0.4  MB   pos/frame/O1/O2/mu/D/bb/kimp
+      Mc         (nv*nv, 128)   0.63 MB   mass matrix, column-major
+      J scratch  (nv, RK+neq, 128) 2.6 MB rebuilt rows (r-major)
+      H, L       (nv*nv, 128)   1.25 MB   Newton scratch
+
+Row layout inside the kernel: [equality, dof-friction, joint limits,
+contacts r-major]. Contacts are r-major (row r of every slot contiguous)
+so the per-direction row writes are contiguous VMEM stores; the launcher
+reorders the contact force block back to the Data k-major convention.
+
+The friction/limit rows never materialize as dense J rows: friction is
+the identity block (diag adds), limit rows are one signed entry at a
+static dof address (unrolled scatter) — so the Hessian/matvec reductions
+run over RK+neq rows instead of nefc (204 -> 146 on G1).
+
+Numerics match phys/lm/solver.solve_lm (same Newton, same safeguarded
+bisection line search); parity gated by tests/test_pallas2_solver.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-12
+LANES = 128
+
+
+def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
+                 ls_iterations, tolerance, do_int):
+    RK = R * K
+    ND = RK + neq  # dense rows (contacts r-major, then equality)
+    NC = neq + nv + nlim  # non-contact rows in canonical efc order
+
+    def kernel(Mc_ref, qfs_ref, ws_ref, qvel_ref, Mh_ref,
+               Dnc_ref, arefnc_ref, flnc_ref, side_ref, Jeq_ref,
+               cdof_ref, posk_ref, O1_ref, O2_ref, frame_ref, mu_ref,
+               Dc_ref, bb_ref, kimp_ref, on_ref, W1_ref, W2_ref,
+               x_out, fnc_out, fcon_out, qfrc_out, asm_out, qint_out,
+               J_scr, H_scr, L_scr, Dd_scr, arefd_scr):
+        # ---------- phase A: rebuild dense rows in VMEM ----------
+        # contact rows r-major: J_scr[i, r*K:(r+1)*K, :], then neq eq rows
+        on = on_ref[:]                     # (RK, 128) activity mask
+        for i in range(nv):
+            w1 = W1_ref[i * K:(i + 1) * K, :]  # (K, 128)
+            w2 = W2_ref[i * K:(i + 1) * K, :]
+            # jac_side_c = (cd_lin + cd_ang x (pos - O))_c * W
+            jd = []
+            for c in range(3):
+                c1, c2 = (c + 1) % 3, (c + 2) % 3
+                a1 = cdof_ref[i * 6 + c1:i * 6 + c1 + 1, :]  # (1, 128)
+                a2 = cdof_ref[i * 6 + c2:i * 6 + c2 + 1, :]
+                lin = cdof_ref[i * 6 + 3 + c:i * 6 + 4 + c, :]
+                r2_1 = posk_ref[c1 * K:(c1 + 1) * K, :] - O2_ref[c1 * K:(c1 + 1) * K, :]
+                r2_2 = posk_ref[c2 * K:(c2 + 1) * K, :] - O2_ref[c2 * K:(c2 + 1) * K, :]
+                r1_1 = posk_ref[c1 * K:(c1 + 1) * K, :] - O1_ref[c1 * K:(c1 + 1) * K, :]
+                r1_2 = posk_ref[c2 * K:(c2 + 1) * K, :] - O1_ref[c2 * K:(c2 + 1) * K, :]
+                j2 = lin + a1 * r2_2 - a2 * r2_1
+                j1 = lin + a1 * r1_2 - a2 * r1_1
+                jd.append(j2 * w2 - j1 * w1)  # (K, 128)
+            # rotate into the contact frame: rows [n, t1, t2]
+            f3 = []
+            for f in range(3):
+                acc = frame_ref[(f * 3 + 0) * K:(f * 3 + 1) * K, :] * jd[0]
+                acc += frame_ref[(f * 3 + 1) * K:(f * 3 + 2) * K, :] * jd[1]
+                acc += frame_ref[(f * 3 + 2) * K:(f * 3 + 3) * K, :] * jd[2]
+                f3.append(acc)
+            for j in range(ndirs):
+                mu_j = mu_ref[j * K:(j + 1) * K, :]
+                rp = 2 * j
+                rm = 2 * j + 1
+                J_scr[i, rp * K:(rp + 1) * K, :] = (
+                    on[rp * K:(rp + 1) * K, :] * (f3[0] + mu_j * f3[1 + j])
+                )
+                J_scr[i, rm * K:(rm + 1) * K, :] = (
+                    on[rm * K:(rm + 1) * K, :] * (f3[0] - mu_j * f3[1 + j])
+                )
+            for e in range(neq):
+                J_scr[i, RK + e:RK + e + 1, :] = Jeq_ref[e * nv + i:e * nv + i + 1, :]
+
+        # dense-row D: contacts share the slot Dc; equality uses Dnc[0:neq]
+        Dc = Dc_ref[:]  # (K, 128), inactive slots pre-zeroed
+        for r in range(R):
+            Dd_scr[r * K:(r + 1) * K, :] = on[r * K:(r + 1) * K, :] * Dc
+        for e in range(neq):
+            Dd_scr[RK + e:RK + e + 1, :] = Dnc_ref[e:e + 1, :]
+
+        # contact aref = -bb * (J qvel) - kimp, same for all R rows of a
+        # slot's pyramid except vel differs per row
+        qv = qvel_ref[:]  # (nv, 128)
+        velc = J_scr[0, 0:RK, :] * qv[0:1, :]
+        for i in range(1, nv):
+            velc += J_scr[i, 0:RK, :] * qv[i:i + 1, :]
+        bb = bb_ref[:]
+        kimp = kimp_ref[:]
+        for r in range(R):
+            sl = slice(r * K, (r + 1) * K)
+            arefd_scr[sl, :] = on[sl, :] * (-bb * velc[sl, :] - kimp)
+        for e in range(neq):
+            arefd_scr[RK + e:RK + e + 1, :] = arefnc_ref[e:e + 1, :]
+
+        # ---------- phase B: Newton solve ----------
+        D_fr = Dnc_ref[neq:neq + nv, :]
+        aref_fr = arefnc_ref[neq:neq + nv, :]
+        fl_fr = flnc_ref[neq:neq + nv, :]
+        D_lim = Dnc_ref[neq + nv:NC, :]
+        aref_lim = arefnc_ref[neq + nv:NC, :]
+        side = side_ref[:]  # (nlim, 128) signed, 0 when inactive
+        Dd = Dd_scr[:]      # (ND, 128)
+        arefd = arefd_scr[:]
+
+        def Mv(vec):
+            acc = Mc_ref[0:nv, :] * vec[0:1, :]
+            for j in range(1, nv):
+                acc += Mc_ref[j * nv:(j + 1) * nv, :] * vec[j:j + 1, :]
+            return acc
+
+        def Jd_mul(vec):  # dense rows: (nv,128) -> (ND,128)
+            acc = J_scr[0] * vec[0:1, :]
+            for i in range(1, nv):
+                acc += J_scr[i] * vec[i:i + 1, :]
+            return acc
+
+        def lim_mul(vec):  # (nv,128) -> (nlim,128)
+            if nlim == 0:
+                return jnp.zeros((0, LANES), jnp.float32)
+            return side * jnp.concatenate(
+                [vec[a:a + 1, :] for a in lim_dofs], axis=0
+            )
+
+        def JT_all(f_fr, f_lim, f_d):  # -> (nv,128)
+            outs = []
+            sf = side * f_lim if nlim else None
+            for i in range(nv):
+                o = f_fr[i:i + 1, :] + jnp.sum(
+                    J_scr[i] * f_d, axis=0, keepdims=True
+                )
+                for li, a in enumerate(lim_dofs):
+                    if a == i:
+                        o = o + sf[li:li + 1, :]
+                outs.append(o)
+            return jnp.concatenate(outs, axis=0)
+
+        def forces(jar_fr, jar_lim, jar_d):
+            # friction rows: Huber clip
+            fq_fr = -D_fr * jar_fr
+            f_fr = jnp.clip(fq_fr, -fl_fr, fl_fr)
+            q_fr = ((jnp.abs(fq_fr) <= fl_fr) & (D_fr > 0)).astype(jnp.float32)
+            # limit rows: one-sided
+            fq_l = -D_lim * jar_lim
+            f_lim = jnp.where(jar_lim < 0, fq_l, 0.0)
+            q_lim = ((jar_lim < 0) & (D_lim > 0)).astype(jnp.float32)
+            # dense rows: contacts one-sided, equality bilateral
+            fq_d = -Dd * jar_d
+            f_d = jnp.where(jar_d < 0, fq_d, 0.0)
+            q_d = ((jar_d < 0) & (Dd > 0)).astype(jnp.float32)
+            if neq:
+                iseq = (
+                    jax.lax.broadcasted_iota(jnp.int32, (ND, LANES), 0) >= RK
+                )
+                f_d = jnp.where(iseq, fq_d, f_d)
+                q_d = jnp.where(iseq & (Dd > 0), 1.0, q_d)
+            return f_fr, f_lim, f_d, q_fr, q_lim, q_d
+
+        def cost_rows(jar_fr, jar_lim, jar_d):
+            qc_fr = 0.5 * D_fr * jar_fr * jar_fr
+            lin = fl_fr * jnp.abs(jar_fr) - 0.5 * fl_fr * fl_fr / jnp.maximum(D_fr, _EPS)
+            c_fr = jnp.where(jnp.abs(D_fr * jar_fr) <= fl_fr, qc_fr, lin)
+            c_lim = jnp.where(jar_lim < 0, 0.5 * D_lim * jar_lim * jar_lim, 0.0)
+            qc_d = 0.5 * Dd * jar_d * jar_d
+            c_d = jnp.where(jar_d < 0, qc_d, 0.0)
+            if neq:
+                iseq = (
+                    jax.lax.broadcasted_iota(jnp.int32, (ND, LANES), 0) >= RK
+                )
+                c_d = jnp.where(iseq, qc_d, c_d)
+            return (
+                jnp.sum(c_fr, axis=0, keepdims=True)
+                + jnp.sum(c_lim, axis=0, keepdims=True)
+                + jnp.sum(c_d, axis=0, keepdims=True)
+            )
+
+        def jar_of(x):
+            return x - aref_fr, lim_mul(x) - aref_lim, Jd_mul(x) - arefd
+
+        def total_cost(x, jars):
+            dx = x - a_smooth
+            smooth = 0.5 * jnp.sum(dx * Mv(dx), axis=0, keepdims=True)
+            return smooth + cost_rows(*jars)
+
+        def chol_solve(src, g):
+            """Solve (src) x = g, src an SPD matrix ref in column-major
+            (nv*nv, 128) layout. Jacobi-equilibrated unrolled Cholesky;
+            the factor lives in L_scr (sequential uses may overwrite)."""
+            diag = jnp.concatenate(
+                [src[j * nv + j:j * nv + j + 1, :] for j in range(nv)],
+                axis=0,
+            )
+            scale = jax.lax.rsqrt(jnp.maximum(diag, _EPS))
+            g = g * scale
+            ridge = 1e-6
+            for j in range(nv):
+                s = src[j * nv + j:(j + 1) * nv, :] * (
+                    scale[j:, :] * scale[j:j + 1, :]
+                )
+                row0 = (
+                    jax.lax.broadcasted_iota(jnp.int32, (nv - j, LANES), 0) == 0
+                )
+                s = s + jnp.where(row0, ridge, 0.0)
+                for kk2 in range(j):
+                    s = s - (
+                        L_scr[kk2 * nv + j:(kk2 + 1) * nv, :]
+                        * L_scr[kk2 * nv + j:kk2 * nv + j + 1, :]
+                    )
+                dcol = jnp.sqrt(jnp.maximum(s[0:1, :], ridge))
+                L_scr[j * nv + j:(j + 1) * nv, :] = s / dcol
+            y = [None] * nv
+            for j in range(nv):
+                s = g[j:j + 1, :]
+                for kk2 in range(j):
+                    s = s - L_scr[kk2 * nv + j:kk2 * nv + j + 1, :] * y[kk2]
+                y[j] = s / L_scr[j * nv + j:j * nv + j + 1, :]
+            outx = [None] * nv
+            for j in reversed(range(nv)):
+                s = y[j]
+                for kk2 in range(j + 1, nv):
+                    s = s - L_scr[j * nv + kk2:j * nv + kk2 + 1, :] * outx[kk2]
+                outx[j] = s / L_scr[j * nv + j:j * nv + j + 1, :]
+            return jnp.concatenate(outx, axis=0) * scale
+
+        # unconstrained acceleration: M a_smooth = qfrc_smooth (the XLA
+        # path's smooth.solve_m — folded in so crb can skip qLD/qLDinv)
+        a_smooth = chol_solve(Mc_ref, qfs_ref[:])
+        asm_out[:] = a_smooth
+
+        x_ws = ws_ref[:]
+        jars_ws = jar_of(x_ws)
+        jars_sm = jar_of(a_smooth)
+        c_ws = total_cost(x_ws, jars_ws)
+        c_sm = total_cost(a_smooth, jars_sm)
+        take = c_ws < c_sm
+        x0 = jnp.where(take, x_ws, a_smooth)
+        jar0 = tuple(
+            jnp.where(take, a, b) for a, b in zip(jars_ws, jars_sm)
+        )
+        cost0 = jnp.where(take, c_ws, c_sm)
+
+        def newton_body(carry):
+            it, x, jar_fr, jar_lim, jar_d, cost_x, done = carry
+            f_fr, f_lim, f_d, q_fr, q_lim, q_d = forces(jar_fr, jar_lim, jar_d)
+            grad = Mv(x - a_smooth) - JT_all(f_fr, f_lim, f_d)
+            Dq_fr = D_fr * q_fr                       # (nv, 128) diag
+            Dq_lim = D_lim * q_lim if nlim else None  # (nlim, 128)
+            Dq_d = Dd * q_d                           # (ND, 128)
+            # H = M + diag(friction) + limit scatter + Jd^T Dq_d Jd
+            for i in range(nv):
+                JDi = J_scr[i] * Dq_d
+                for j in range(i, nv):
+                    h = (
+                        jnp.sum(JDi * J_scr[j], axis=0, keepdims=True)
+                        + Mc_ref[j * nv + i:j * nv + i + 1, :]
+                    )
+                    if j == i:
+                        h = h + Dq_fr[i:i + 1, :]
+                        for li, a in enumerate(lim_dofs):
+                            if a == i:
+                                h = h + Dq_lim[li:li + 1, :]
+                    H_scr[j * nv + i:j * nv + i + 1, :] = h
+                    if j != i:
+                        H_scr[i * nv + j:i * nv + j + 1, :] = h
+            dx = -chol_solve(H_scr, grad)
+
+            v_fr = dx
+            v_lim = lim_mul(dx)
+            v_d = Jd_mul(dx)
+            q1 = jnp.sum(dx * Mv(x - a_smooth), axis=0, keepdims=True)
+            q2 = jnp.sum(dx * Mv(dx), axis=0, keepdims=True)
+
+            def dphi(a):
+                jf = jar_fr + a * v_fr
+                jl = jar_lim + a * v_lim
+                jd2 = jar_d + a * v_d
+                ff, fll, fd, qf, ql, qd = forces(jf, jl, jd2)
+                d1 = q1 + a * q2 - (
+                    jnp.sum(v_fr * ff, axis=0, keepdims=True)
+                    + jnp.sum(v_lim * fll, axis=0, keepdims=True)
+                    + jnp.sum(v_d * fd, axis=0, keepdims=True)
+                )
+                d2 = q2 + (
+                    jnp.sum(D_fr * qf * v_fr * v_fr, axis=0, keepdims=True)
+                    + jnp.sum(D_lim * ql * v_lim * v_lim, axis=0, keepdims=True)
+                    + jnp.sum(Dd * qd * v_d * v_d, axis=0, keepdims=True)
+                )
+                return d1, d2
+
+            hi = jnp.ones_like(q1)
+            for _ in range(12):
+                g_hi, _ = dphi(hi)
+                hi = jnp.where(g_hi < 0, hi * 2.0, hi)
+            lo = jnp.zeros_like(q1)
+            a = jnp.minimum(hi, 1.0)
+            for _ in range(ls_iterations):
+                g, h = dphi(a)
+                lo = jnp.where(g < 0, a, lo)
+                hi = jnp.where(g < 0, hi, a)
+                a_newton = a - g / jnp.maximum(h, _EPS)
+                inside = (a_newton > lo) & (a_newton < hi)
+                a = jnp.where(inside, a_newton, 0.5 * (lo + hi))
+            alpha = jnp.maximum(a, 0.0)
+
+            step = jnp.where(done > 0.5, 0.0, alpha)
+            x_new = x + step * dx
+            jf_new = jar_fr + step * v_fr
+            jl_new = jar_lim + step * v_lim
+            jd_new = jar_d + step * v_d
+            cost_new = total_cost(x_new, (jf_new, jl_new, jd_new))
+            ok = jnp.isfinite(cost_new) & (cost_new < cost_x)
+            x = jnp.where(ok, x_new, x)
+            jar_fr = jnp.where(ok, jf_new, jar_fr)
+            jar_lim = jnp.where(ok, jl_new, jar_lim)
+            jar_d = jnp.where(ok, jd_new, jar_d)
+            cost_x = jnp.where(ok, cost_new, cost_x)
+            gnorm2 = jnp.sum(grad * grad, axis=0, keepdims=True)
+            tol2 = (tolerance * nv) ** 2
+            done = jnp.maximum(
+                done, jnp.where((gnorm2 < tol2) | ~ok, 1.0, 0.0)
+            )
+            return it + 1, x, jar_fr, jar_lim, jar_d, cost_x, done
+
+        done0 = jnp.zeros_like(cost0)
+        carry = (jnp.zeros((), jnp.int32), x0, *jar0, cost0, done0)
+        _, x, jar_fr, jar_lim, jar_d, _, _ = jax.lax.while_loop(
+            lambda c: (c[0] < iterations) & (jnp.min(c[6]) < 0.5),
+            newton_body,
+            carry,
+        )
+
+        f_fr, f_lim, f_d, _, _, _ = forces(jar_fr, jar_lim, jar_d)
+        x_out[:] = x
+        # canonical non-contact force rows: [eq, friction, limits]
+        if neq:
+            fnc_out[0:neq, :] = f_d[RK:ND, :]
+        fnc_out[neq:neq + nv, :] = f_fr
+        if nlim:
+            fnc_out[neq + nv:NC, :] = f_lim
+        fcon_out[:] = f_d[0:RK, :]  # r-major; launcher reorders to k-major
+        qfrc_out[:] = JT_all(f_fr, f_lim, f_d)
+        # integrator implicit velocity update: Mh a' = M a (folded in so
+        # integrate() skips its own XLA dense factorization)
+        if do_int:
+            qint_out[:] = chol_solve(Mh_ref, Mv(x))
+        else:
+            qint_out[:] = x
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nv", "K", "R", "ndirs", "neq", "nlim", "lim_dofs",
+        "iterations", "ls_iterations", "tolerance", "do_int", "interpret",
+    ),
+)
+def newton_assemble_solve(
+    Mc, qfrc_smooth, x_ws, qvel, Mh,
+    Dnc, arefnc, flnc, side, Jeq,
+    cdof, pos_k, O1, O2, frame_k, mu_dirs, Dc, bb, kimp, on_rm,
+    W1, W2,
+    *, nv, K, R, ndirs, neq, nlim, lim_dofs,
+    iterations, ls_iterations, tolerance, do_int, interpret=False,
+):
+    """Fused assembly+solve. All inputs env-LAST f32, E % 128 == 0:
+
+    Mc (nv*nv, E) column-major mass; qfrc_smooth/x_ws/qvel (nv, E);
+    Mh (nv*nv, E) integrator system matrix (column-major; any dummy when
+    do_int=False); Dnc/arefnc/flnc (neq+nv+nlim, E) non-contact rows
+    (canonical order); side (nlim, E); Jeq (neq*nv, E); cdof (nv*6, E);
+    pos_k/O1/O2 (3*K, E) component-major; frame_k (9*K, E) row-major
+    [n, t1, t2]; mu_dirs (ndirs*K, E); Dc/bb/kimp (K, E);
+    on_rm (R*K, E) r-major row activity; W1/W2 (nv*K, E) dof-major.
+
+    Returns (x (nv,E), f_noncon (neq+nv+nlim, E), f_con_rmajor (R*K, E),
+    qfrc_constraint (nv, E), a_smooth (nv, E), qacc_int (nv, E))."""
+    E = Mc.shape[-1]
+    assert E % LANES == 0, f"E must be a multiple of {LANES}, got {E}"
+    grid = E // LANES
+    RK = R * K
+    NC = neq + nv + nlim
+
+    kernel = _make_kernel(
+        nv, K, R, ndirs, neq, nlim, lim_dofs,
+        iterations, ls_iterations, tolerance, do_int,
+    )
+
+    def bs(rows):
+        return pl.BlockSpec((rows, LANES), lambda b: (0, b),
+                            memory_space=pltpu.VMEM)
+
+    def nz(rows, E_):
+        # zero-row operands are not supported; pad to one dummy row
+        return max(rows, 1)
+
+    pad = lambda x, rows: (  # noqa: E731
+        x if rows else jnp.zeros((1, E), jnp.float32)
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            bs(nv * nv), bs(nv), bs(nv), bs(nv),
+            bs(nv * nv if do_int else 1),
+            bs(nz(NC, E)), bs(nz(NC, E)), bs(nz(NC, E)),
+            bs(nz(nlim, E)), bs(nz(neq * nv, E)),
+            bs(nv * 6), bs(3 * K), bs(3 * K), bs(3 * K), bs(9 * K),
+            bs(nz(ndirs * K, E)), bs(K), bs(K), bs(K), bs(RK),
+            bs(nv * K), bs(nv * K),
+        ],
+        out_specs=[bs(nv), bs(nz(NC, E)), bs(RK), bs(nv), bs(nv), bs(nv)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nv, E), jnp.float32),
+            jax.ShapeDtypeStruct((max(NC, 1), E), jnp.float32),
+            jax.ShapeDtypeStruct((RK, E), jnp.float32),
+            jax.ShapeDtypeStruct((nv, E), jnp.float32),
+            jax.ShapeDtypeStruct((nv, E), jnp.float32),
+            jax.ShapeDtypeStruct((nv, E), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nv, RK + neq, LANES), jnp.float32),
+            pltpu.VMEM((nv * nv, LANES), jnp.float32),
+            pltpu.VMEM((nv * nv, LANES), jnp.float32),
+            pltpu.VMEM((RK + neq, LANES), jnp.float32),
+            pltpu.VMEM((RK + neq, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        Mc, qfrc_smooth, x_ws, qvel,
+        Mh if do_int else jnp.zeros((1, E), jnp.float32),
+        pad(Dnc, NC), pad(arefnc, NC), pad(flnc, NC),
+        pad(side, nlim), pad(Jeq, neq),
+        cdof, pos_k, O1, O2, frame_k,
+        pad(mu_dirs, ndirs), Dc, bb, kimp, on_rm,
+        W1, W2,
+    )
+    x, fnc, fcon, qfrc, a_smooth, qacc_int = out
+    return x, fnc[:NC], fcon, qfrc, a_smooth, qacc_int
