@@ -38,9 +38,12 @@ def pend_spec():
     )
 
 
-def make_pendulum_env(history_length=0, delay=0, action_scale=1.0,
+def make_pendulum_cfg(history_length=0, delay=0, action_scale=1.0,
                       action_offset=0.0, num_envs=E,
-                      soft_joint_pos_limit_factor=1.0):
+                      soft_joint_pos_limit_factor=1.0,
+                      group_history_length=None,
+                      flatten_history_dim=True,
+                      group_flatten_history_dim=True):
     cfg = ManagerBasedRlEnvCfg(
         decimation=1,
         episode_length_s=1000.0,
@@ -70,10 +73,13 @@ def make_pendulum_env(history_length=0, delay=0, action_scale=1.0,
                         func=mdp.joint_pos_rel,
                         scale=2.0,
                         history_length=history_length,
+                        flatten_history_dim=flatten_history_dim,
                         delay_min_lag=delay,
                         delay_max_lag=delay,
                     )
-                }
+                },
+                history_length=group_history_length,
+                flatten_history_dim=group_flatten_history_dim,
             )
         },
         actions={
@@ -88,6 +94,17 @@ def make_pendulum_env(history_length=0, delay=0, action_scale=1.0,
         },
     )
     cfg.sim.mujoco.timestep = 0.01
+    return cfg
+
+
+def make_pendulum_env(history_length=0, delay=0, action_scale=1.0,
+                      action_offset=0.0, num_envs=E,
+                      soft_joint_pos_limit_factor=1.0, **kw):
+    cfg = make_pendulum_cfg(
+        history_length=history_length, delay=delay, action_scale=action_scale,
+        action_offset=action_offset, num_envs=num_envs,
+        soft_joint_pos_limit_factor=soft_joint_pos_limit_factor, **kw,
+    )
     env = ManagerBasedRlEnv(cfg)
     env.reset()
     return env
