@@ -60,6 +60,14 @@ class ObservationManager(ManagerBase):
             return gcfg.history_length
         return tcfg.history_length
 
+    def _flatten_history(self, gcfg, tcfg) -> bool:
+        """Group history_length, when set, REPLACES the term's history
+        settings including flatten_history_dim (reference
+        observation_manager.py:254-256); otherwise the term's flag rules."""
+        if gcfg.history_length is not None:
+            return gcfg.flatten_history_dim
+        return tcfg.flatten_history_dim
+
     def init_state(self, num_envs: int, rng) -> dict:
         """Dry-run every term to size delay/history buffers. Must be called
         with a concrete (non-traced) ctx."""
@@ -96,9 +104,7 @@ class ObservationManager(ManagerBase):
                     )
                 gstate[tname] = tstate
                 tdim = int(val.reshape(val.shape[0], -1).shape[-1])
-                if hist > 0 and (
-                    tcfg.flatten_history_dim or gcfg.flatten_history_dim
-                ):
+                if hist > 0 and self._flatten_history(gcfg, tcfg):
                     tdim *= hist
                 dim += tdim
             state[gname] = gstate
@@ -150,7 +156,7 @@ class ObservationManager(ManagerBase):
                             tstate["hist"], val
                         )
                     win = circular_buffer_window(tstate["hist"])  # (E,T,...)
-                    if tcfg.flatten_history_dim or gcfg.flatten_history_dim:
+                    if self._flatten_history(gcfg, tcfg):
                         val = win.reshape(win.shape[0], -1)
                     else:
                         val = win
@@ -158,8 +164,13 @@ class ObservationManager(ManagerBase):
                 gstate[tname] = tstate
             ctx.obs_state[gname] = gstate
             if gcfg.concatenate_terms:
-                flat = [v.reshape(v.shape[0], -1) for v in outs.values()]
-                obs[gname] = jnp.concatenate(flat, axis=gcfg.concatenate_dim)
+                # concatenate raw term outputs (reference
+                # observation_manager.py:204-208 torch.cat on the
+                # configured dim): unflattened-history terms keep their
+                # (E, T, ...) window shape in the concatenated group
+                obs[gname] = jnp.concatenate(
+                    list(outs.values()), axis=gcfg.concatenate_dim
+                )
             else:
                 obs[gname] = outs
         return obs

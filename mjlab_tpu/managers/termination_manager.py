@@ -25,6 +25,12 @@ class TerminationManager(ManagerBase):
         return list(self._term_names)
 
     def init_state(self, num_envs: int) -> dict:
+        # terminated/truncated are normally written by compute(); seed
+        # them so construction-time resets (which run BEFORE the first
+        # step, e.g. the tracking command's adaptive-sampling read of
+        # .terminated) see an all-false batch instead of AttributeError
+        self.terminated = jnp.zeros((num_envs,), bool)
+        self.truncated = jnp.zeros((num_envs,), bool)
         return {
             "episode_counts": {
                 n: jnp.zeros((num_envs,), jnp.float32) for n in self._term_names

@@ -42,8 +42,8 @@ def run_demo(
 
     env_cfg = tasks.load_env_cfg(task, play=True)
     env_cfg.scene.num_envs = num_envs
-    if env_cfg.commands is not None and hasattr(env_cfg.commands, "motion"):
-        env_cfg.commands.motion.motion_file = motion_file
+    if isinstance(env_cfg.commands, dict) and "motion" in env_cfg.commands:
+        env_cfg.commands["motion"].motion_file = motion_file
     env = ManagerBasedRlEnv(env_cfg)
     wrapped = RslRlVecEnvWrapper(env)
     agent_cfg = tasks.load_rl_cfg(task)

@@ -103,19 +103,18 @@ def run_train(
     # registry artifact (reference scripts/train.py:68-92)
     runner_kwargs = {}
     is_tracking = (
-        env_cfg.commands is not None
-        and hasattr(env_cfg.commands, "motion")
+        isinstance(env_cfg.commands, dict) and "motion" in env_cfg.commands
     )
     if is_tracking:
         if motion_file is not None:
-            env_cfg.commands.motion.motion_file = motion_file
+            env_cfg.commands["motion"].motion_file = motion_file
         elif registry_name is not None:
             if ":" not in registry_name:
                 registry_name = registry_name + ":latest"
             import wandb
 
             artifact = wandb.Api().artifact(registry_name)
-            env_cfg.commands.motion.motion_file = os.path.join(
+            env_cfg.commands["motion"].motion_file = os.path.join(
                 artifact.download(), "motion.npz"
             )
             runner_kwargs["registry_name"] = registry_name

@@ -55,6 +55,47 @@ def test_history_stacking_order():
 
 
 @pytest.mark.slow
+def test_group_history_override():
+    """Group-level history_length replaces per-term history settings
+    (reference observation_manager.py:254-256): the term sets none, the
+    group sets 3 -> every term in the group gets a 3-frame window."""
+    H = 3
+    env = make_pendulum_env(history_length=0, group_history_length=H)
+    assert env.observation_manager.group_obs_dim("policy") == H
+    steps = _rollout(env, 5)
+    raws = [r for r, _ in steps]
+    obs_last = steps[-1][1]
+    want = 2.0 * np.stack([raws[-3], raws[-2], raws[-1]], axis=1)
+    np.testing.assert_allclose(obs_last, want, atol=1e-5)
+    env.close()
+
+
+@pytest.mark.slow
+def test_group_history_unflattened():
+    """group flatten_history_dim=False REPLACES the term's flatten flag
+    (True by default): the group obs keeps the (E, T, ...) window shape
+    and concatenation happens on the last axis."""
+    H = 3
+    env = make_pendulum_env(
+        history_length=0,
+        group_history_length=H,
+        group_flatten_history_dim=False,
+    )
+    step = jax.jit(env._traced_step)
+    state = env._state
+    action = jnp.full((E, 1), 0.5, jnp.float32)
+    raws = []
+    for _ in range(4):
+        state, obs, *_ = step(state, action)
+        raws.append(np.asarray(state.data.qpos)[:, 0].copy())
+    o = np.asarray(obs["policy"])
+    assert o.shape == (E, H, 1)
+    want = 2.0 * np.stack(raws[-3:], axis=1)[..., None]
+    np.testing.assert_allclose(o, want, atol=1e-5)
+    env.close()
+
+
+@pytest.mark.slow
 def test_fixed_delay():
     D = 2
     env = _env(delay=D)
