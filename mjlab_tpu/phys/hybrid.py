@@ -241,17 +241,18 @@ def _use_pallas2(m: Model, d: Data, E: int) -> bool:
     )
 
 
-def _solve_pallas2_envlast(m: Model, k: dict, d: Data, Mh) -> dict:
+def _solve_pallas2_core(m: Model, k: dict, qM_cm, qfsT, wsT, vT, cdofT,
+                        Mh_cm) -> dict:
     """Launch the fused assembly+solve kernel from the compact per-slot
-    tensors (make_constraint_lm assemble_j=False outputs). Mh is the
-    integrator's implicit system matrix (E, nv, nv) or None; when given,
-    the kernel also returns the integrated qacc (fwd.integrate skips its
-    own dense factorization)."""
+    tensors (make_constraint_lm assemble_j=False outputs), all inputs
+    env-last. Mh_cm is the integrator's implicit system matrix
+    (nv*nv, E) or None; when given, the kernel also returns the
+    integrated qacc (fwd.integrate skips its own dense factorization)."""
     import os
 
     from mjlab_tpu.phys.solver_pallas2 import newton_assemble_solve
 
-    E = d.qpos.shape[0]
+    E = vT.shape[-1]
     nv = m.nv
     K = m.ncon_max
     R = m.rows_per_con
@@ -264,18 +265,14 @@ def _solve_pallas2_envlast(m: Model, k: dict, d: Data, Mh) -> dict:
         return jnp.moveaxis(x, 0, 1).reshape(-1, E)
 
     Jeq = jnp.broadcast_to(k["efc_Jeq"], (neq, nv, E)).reshape(neq * nv, E)
-    cdofT = jnp.moveaxis(d.cdof, 0, -1).reshape(nv * 6, E)
     on_rm = jnp.moveaxis(
         k["con_on"].reshape(K, R, E), 0, 1
     ).reshape(R * K, E).astype(jnp.float32)
-    do_int = Mh is not None
-    Mh_cm = (
-        jnp.moveaxis(Mh, 0, -1).reshape(nv * nv, E) if do_int else None
-    )  # (i, j, E) row-major flattened == column-major of Mh^T == Mh (SPD)
+    do_int = Mh_cm is not None
 
     x, fnc, fcon_rm, qfrc, a_smooth, qacc_int = newton_assemble_solve(
-        jnp.swapaxes(k["qM_dense"], 0, 1).reshape(nv * nv, E),
-        d.qfrc_smooth.T, d.qacc_warmstart.T, d.qvel.T, Mh_cm,
+        qM_cm,
+        qfsT, wsT, vT, Mh_cm,
         k["efc_D"][:NC], k["efc_aref"][:NC], k["efc_fl"][:NC],
         k["efc_lim_side"], Jeq,
         cdofT, cm(k["con_pos_k"]), cm(k["con_O1"]), cm(k["con_O2"]),
@@ -299,6 +296,22 @@ def _solve_pallas2_envlast(m: Model, k: dict, d: Data, Mh) -> dict:
     if do_int:
         out["qacc_int"] = qacc_int
     return out
+
+
+def _solve_pallas2_envlast(m: Model, k: dict, d: Data, Mh) -> dict:
+    """Env-first entry: derive the env-last kernel inputs from Data."""
+    E = d.qpos.shape[0]
+    nv = m.nv
+    qM_cm = jnp.swapaxes(k["qM_dense"], 0, 1).reshape(nv * nv, E)
+    cdofT = jnp.moveaxis(d.cdof, 0, -1).reshape(nv * 6, E)
+    Mh_cm = (
+        jnp.moveaxis(Mh, 0, -1).reshape(nv * nv, E)
+        if Mh is not None else None
+    )  # (i, j, E) row-major flattened == column-major of Mh^T == Mh (SPD)
+    return _solve_pallas2_core(
+        m, k, qM_cm, d.qfrc_smooth.T, d.qacc_warmstart.T, d.qvel.T,
+        cdofT, Mh_cm,
+    )
 
 
 def _solve_pallas_envlast(m: Model, k: dict, d: Data) -> dict:
@@ -426,6 +439,128 @@ def _has_implicit(m: Model) -> bool:
     )
 
 
+def _use_smooth_pallas(m: Model, bf: frozenset, d: Data, E: int) -> bool:
+    """Select the fully env-last substep (smooth Pallas kernels + contact
+    stack + fused solve, phys/smooth_pallas.py). Requires the pallas2
+    solver path plus kernel coverage of the smooth stages."""
+    import os
+
+    from mjlab_tpu.phys.smooth_pallas import smooth_pallas_supported
+
+    mode = os.environ.get("MJLAB_TPU_SMOOTH", "auto")
+    if mode == "vmap":
+        return False
+    if not (
+        jax.default_backend() != "cpu"
+        or mode == "pallas"
+        or os.environ.get("MJLAB_TPU_SOLVER_INTERPRET")
+    ):
+        return False
+    return (
+        _use_pallas2(m, d, E)
+        and smooth_pallas_supported(m, bf, E, d.qpos.dtype)
+    )
+
+
+def _step_envlast(m: Model, bf: frozenset, d: Data) -> Data:
+    """One physics step with EVERY stage env-last: the smooth Pallas
+    kernels feed the env-last contact stack (lm/{collision,constraint})
+    and the fused assemble+solve kernel; integration runs on planes. The
+    only env-first<->env-last traffic left is the tiny qpos/qvel/ctrl
+    transposes in and the lean writeback out — the vmapped smooth fusion
+    soup and the geom/cdof boundary transposes of the round-3 hybrid
+    substep are gone (round-4 trace: they were ~7 of 10.4 ms)."""
+    import os
+
+    from mjlab_tpu.phys.smooth_pallas import (
+        collision_geoms, crb_packed, integrate_envlast, kin_com,
+        qm_dense_cm, vel_smooth,
+    )
+
+    interp = bool(os.environ.get("MJLAB_TPU_SOLVER_INTERPRET"))
+    E = d.qpos.shape[0]
+    dtype = d.qpos.dtype
+    nv, nb, nq, nu = m.nv, m.nbody, m.nq, m.nu
+    P = Params(m, bf, E)
+
+    qT = d.qpos.T
+    vT = d.qvel.T
+    ctrlT = d.ctrl.T
+
+    gxpos, gxmat, subcom, cdof, cinA, cinc, xipos = kin_com(m, qT, interp)
+
+    # contact stack on planes straight from the kernel outputs;
+    # non-collision geoms get zero placeholder planes (collision_lm
+    # stacks the full geom table but only ever indexes pair geoms)
+    zplane = jnp.zeros((1,), dtype)
+    k = {
+        "geom_xpos": [(zplane,) * 3] * m.ngeom,
+        "geom_xmat": [(zplane,) * 9] * m.ngeom,
+        "subtree_com": [
+            tuple(subcom[b, c] for c in range(3)) for b in range(nb)
+        ],
+        "cdof": [tuple(cdof[i, c] for c in range(6)) for i in range(nv)],
+    }
+    for o, g in enumerate(collision_geoms(m)):
+        k["geom_xpos"][g] = tuple(gxpos[o, c] for c in range(3))
+        k["geom_xmat"][g] = tuple(gxmat[o, c] for c in range(9))
+    k = collision_lm(m, P, k, dtype)
+    q_planes = tuple(qT[i] for i in range(nq))
+    v_planes = tuple(vT[i] for i in range(nv))
+    k = make_constraint_lm(
+        m, P, k, q_planes, v_planes, dtype, assemble_j=False
+    )
+
+    xfrcT = jnp.moveaxis(d.xfrc_applied, 0, -1)
+    qfaT = d.qfrc_applied.T
+    qfs, afrc, avel, mh_diag = vel_smooth(
+        m, qT, vT, ctrlT, cdof, cinA, cinc, (subcom, xipos, xfrcT, qfaT),
+        interp,
+    )
+    qM_pairs = crb_packed(m, cdof, cinA, cinc, interp)
+    qM_cm = qm_dense_cm(m, qM_pairs)
+
+    Mh_cm = None
+    if _has_implicit(m):
+        diag_rows = jnp.asarray(
+            np.arange(nv, dtype=np.int32) * nv
+            + np.arange(nv, dtype=np.int32)
+        )
+        Mh_cm = qM_cm.at[diag_rows].add(mh_diag)
+
+    cdofT = cdof.reshape(nv * 6, E)  # (nv, 6, E) is already dof-major
+    sol = _solve_pallas2_core(
+        m, k, qM_cm, qfs, d.qacc_warmstart.T, vT, cdofT, Mh_cm
+    )
+    qacc = sol["qacc"]  # (nv, E)
+    qacc_int = sol.get("qacc_int", qacc)
+
+    qT_new, vT_new, bad = integrate_envlast(m, qT, vT, qacc_int)
+
+    d = _writeback_position(m, d, k, P, lean=True)
+    efc_force = sol["efc_force"].T
+    d = d.replace(
+        qpos=qT_new.T,
+        qvel=vT_new.T,
+        qacc=qacc.T,
+        qacc_warmstart=jnp.where(bad[:, None], 0.0, qacc.T),
+        qacc_smooth=sol["qacc_smooth"].T,
+        qfrc_constraint=sol["qfrc_constraint"].T,
+        efc_force=efc_force,
+        actuator_force=afrc.T if nu else d.actuator_force,
+        actuator_velocity=avel.T if nu else d.actuator_velocity,
+        time=d.time + m.opt.timestep,
+        ncheck_reset=d.ncheck_reset + bad.astype(jnp.int32),
+        ncon_overflow=d.ncon_overflow + jnp.maximum(
+            jnp.sum(d.con_found.astype(jnp.int32), axis=-1) - m.ncon_max, 0
+        ),
+    )
+    if m.ncon_max and m.pairs.ncon:
+        cf, ct = _decode_contact_forces_batched(m, d, efc_force)
+        d = d.replace(con_force_c=cf, con_torque_c=ct)
+    return d
+
+
 def forward_hybrid(m: Model, bf: frozenset, d: Data, m_axes,
                    lean: bool = False) -> Data:
     """Batched mj_forward. d is env-first batched; m may carry DR-batched
@@ -439,7 +574,10 @@ def step_hybrid(m: Model, bf: frozenset, d: Data, m_axes,
                 lean: bool = True) -> Data:
     """Batched mj_step with env-last hot stages. The decimation hot loop
     runs lean (no full packed-table/efc writeback); pass lean=False for
-    parity tests that diff the whole Data surface."""
+    parity tests that diff the whole Data surface. When the smooth Pallas
+    kernels cover the model (round 4), the lean step runs FULLY env-last."""
+    if lean and _use_smooth_pallas(m, bf, d, d.qpos.shape[0]):
+        return _step_envlast(m, bf, d)
     d, qacc_int = _forward_hybrid_impl(m, bf, d, m_axes, lean)
     if qacc_int is None:
         return _batched_stage(fwd.integrate, m_axes)(m, d)

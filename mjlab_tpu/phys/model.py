@@ -50,6 +50,18 @@ EFC_LIMIT_TENDON = 4
 # Transmission types (match mujoco.mjtTrn)
 TRN_JOINT, TRN_JOINTINPARENT, TRN_SLIDERCRANK, TRN_TENDON, TRN_SITE = 0, 1, 2, 3, 4
 
+# model fields snapshotted into Model.host_consts for the Pallas smooth
+# kernels (phys/smooth_pallas.py); any of these being DR-batched disables
+# that fast path
+SMOOTH_HOST_FIELDS = (
+    "qpos0", "body_pos", "body_quat", "jnt_pos", "jnt_axis",
+    "body_ipos", "body_iquat", "geom_pos", "geom_quat",
+    "body_mass", "body_inertia", "dof_armature", "dof_damping",
+    "jnt_stiffness", "qpos_spring",
+    "actuator_gear", "actuator_ctrlrange", "actuator_gainprm",
+    "actuator_biasprm", "actuator_forcerange",
+)
+
 
 @pytree
 class Option:
@@ -261,6 +273,15 @@ class Model:
 
     opt: Option
 
+    # CONCRETE host copies of the model constants the Pallas smooth
+    # kernels bake in (phys/smooth_pallas.HostParams). When the model
+    # travels inside a traced pytree (the env state carries it for DR),
+    # its jax.Array fields are tracers at step-trace time — this static
+    # dict keeps the single-world values reachable. Keys: field names
+    # plus "opt_gravity"/"opt_timestep". None on models built by tests
+    # that bypass put_model (HostParams then falls back to np.asarray).
+    host_consts: Static[dict | None] = None
+
 
 def limit_rows_static(m: Model) -> np.ndarray:
     """Static ((nlimit + nlimit_ten), nv) limit-row Jacobian pattern:
@@ -435,7 +456,7 @@ def put_model(
         np.full(rows_per_con * ncon_max, EFC_CONTACT, np.int32),
     ])
 
-    return Model(
+    m = Model(
         nq=mj.nq, nv=mj.nv, nu=mj.nu, nbody=mj.nbody, njnt=mj.njnt,
         ngeom=mj.ngeom, nsite=mj.nsite, nmocap=mj.nmocap,
         body_parentid=mj.body_parentid.astype(np.int32),
@@ -560,3 +581,7 @@ def put_model(
         tendon_invweight0=f(mj.tendon_invweight0.reshape(ntendon)),
         opt=opt,
     )
+    hc = {name: np.asarray(getattr(m, name)) for name in SMOOTH_HOST_FIELDS}
+    hc["opt_gravity"] = np.asarray(opt.gravity)
+    hc["opt_timestep"] = np.asarray(opt.timestep)
+    return m.replace(host_consts=hc)
