@@ -21,6 +21,49 @@ from dataclasses import fields, is_dataclass
 import numpy as np
 
 
+def _parse_override_value(cur, value: str):
+    """Parse a CLI override string against the current field value.
+
+    Covers the nested-cfg value kinds the reference's tyro surface
+    handles (reference scripts/train.py:224-248): scalars, booleans,
+    enums (by NAME or value), tuples/lists (python literal syntax or
+    bare comma-separated), and Optional[...] fields (current value None:
+    literal-parsed, 'none' -> None)."""
+    import ast
+    import enum as _enum
+
+    if isinstance(cur, _enum.Enum):
+        ecls = type(cur)
+        try:
+            return ecls[value]
+        except KeyError:
+            try:
+                return ecls(ast.literal_eval(value))
+            except (ValueError, SyntaxError, KeyError):
+                return ecls(value)
+    if isinstance(cur, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if value.lower() in ("none", "null"):
+        return None
+    try:
+        lit = ast.literal_eval(value)
+    except (ValueError, SyntaxError):
+        lit = value
+    if cur is None:
+        return lit
+    if isinstance(cur, (tuple, list)):
+        if isinstance(lit, str):
+            lit = tuple(
+                ast.literal_eval(x.strip()) for x in lit.split(",") if x.strip()
+            )
+        elif not isinstance(lit, (tuple, list)):
+            lit = (lit,)
+        return type(cur)(lit)
+    if isinstance(lit, str):
+        return lit if isinstance(cur, str) else type(cur)(value)
+    return type(cur)(lit)
+
+
 def _apply_overrides(obj, overrides: list[str]):
     """Apply --a.b.c=value style overrides onto nested dataclasses/dicts."""
     for ov in overrides:
@@ -34,18 +77,15 @@ def _apply_overrides(obj, overrides: list[str]):
         for p in parts[:-1]:
             tgt = tgt[p] if isinstance(tgt, dict) else getattr(tgt, p)
         leaf = parts[-1]
-        cur = tgt[leaf] if isinstance(tgt, dict) else getattr(tgt, leaf)
-        typ = type(cur) if cur is not None else str
-        if typ is bool:
-            new = value.lower() in ("1", "true", "yes")
-        elif cur is None:
-            new = value
-        else:
-            new = typ(value)
         if isinstance(tgt, dict):
-            tgt[leaf] = new
+            if leaf not in tgt:
+                raise AttributeError(
+                    f"override path '{path}': no key '{leaf}'"
+                )
+            tgt[leaf] = _parse_override_value(tgt[leaf], value)
         else:
-            setattr(tgt, leaf, new)
+            cur = getattr(tgt, leaf)  # AttributeError on bad paths
+            setattr(tgt, leaf, _parse_override_value(cur, value))
 
 
 def run_train(
