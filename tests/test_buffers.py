@@ -88,3 +88,82 @@ def test_delay_set_lags():
     s = delay_buffer_reset(s, jnp.array([True, True]), rng)
     lag = np.asarray(s.lag)
     assert lag.min() >= 2 and lag.max() <= 4
+
+
+def test_delay_update_period_multirate():
+    """update_period=3: lags may change only on due pushes; between due
+    pushes the lag is frozen (reference delay_buffer.py:247-303)."""
+    from mjlab_tpu.utils.buffers import delay_buffer_init, delay_buffer_push
+
+    B = 32
+    rng = jax.random.PRNGKey(0)
+    st = delay_buffer_init(
+        max_lag=4, batch=B, shape=(1,), min_lag=0, update_period=3,
+        per_env_phase=False, rng=rng,
+    )
+    lags = [np.asarray(st.lag).copy()]
+    for t in range(12):
+        rng, k = jax.random.split(rng)
+        st, _ = delay_buffer_push(st, jnp.full((B, 1), float(t)), k)
+        lags.append(np.asarray(st.lag).copy())
+    # with phase 0 everywhere, pushes 0,3,6,9 are due; others frozen
+    for t in range(12):
+        changed = (lags[t + 1] != lags[t]).any()
+        if t % 3 != 0:
+            assert not changed, f"lag changed on non-due push {t}"
+    # due pushes do resample for a 32-env batch (w.h.p. some env changes)
+    assert any((lags[t + 1] != lags[t]).any() for t in (0, 3, 6, 9))
+
+
+def test_delay_per_env_phase_staggering():
+    """per_env_phase=True staggers WHICH push each env resamples on: the
+    phases cover the period and the change-step pattern follows them."""
+    from mjlab_tpu.utils.buffers import delay_buffer_init, delay_buffer_push
+
+    B, P = 64, 4
+    rng = jax.random.PRNGKey(1)
+    st = delay_buffer_init(
+        max_lag=6, batch=B, shape=(1,), min_lag=0, update_period=P,
+        per_env_phase=True, rng=rng,
+    )
+    phase = np.asarray(st.phase)
+    assert set(np.unique(phase)) == set(range(P)), phase
+    prev = np.asarray(st.lag).copy()
+    for t in range(8):
+        rng, k = jax.random.split(rng)
+        st, _ = delay_buffer_push(st, jnp.full((B, 1), float(t)), k)
+        cur = np.asarray(st.lag).copy()
+        changed = cur != prev
+        due = (t + phase) % P == 0
+        assert not changed[~due].any(), f"non-due env resampled at push {t}"
+        prev = cur
+
+
+def test_delay_hold_prob_one_freezes_lags():
+    from mjlab_tpu.utils.buffers import delay_buffer_init, delay_buffer_push
+
+    B = 32
+    rng = jax.random.PRNGKey(2)
+    st = delay_buffer_init(
+        max_lag=5, batch=B, shape=(1,), min_lag=0, hold_prob=1.0, rng=rng,
+    )
+    lag0 = np.asarray(st.lag).copy()
+    for t in range(10):
+        rng, k = jax.random.split(rng)
+        st, _ = delay_buffer_push(st, jnp.full((B, 1), float(t)), k)
+        np.testing.assert_array_equal(np.asarray(st.lag), lag0)
+
+
+def test_delay_lag_clamps_to_backfilled_history():
+    """A fresh buffer with max lag returns the FIRST pushed frame (the
+    backfill), never stale zeros (reference delay clamp semantics)."""
+    from mjlab_tpu.utils.buffers import delay_buffer_init, delay_buffer_push
+
+    B = 8
+    rng = jax.random.PRNGKey(3)
+    st = delay_buffer_init(
+        max_lag=4, batch=B, shape=(1,), min_lag=4, rng=rng,
+    )
+    rng, k = jax.random.split(rng)
+    st, out = delay_buffer_push(st, jnp.full((B, 1), 7.5), k)
+    np.testing.assert_allclose(np.asarray(out), 7.5)
