@@ -20,6 +20,7 @@ def run_evaluate(
     num_envs: int = 1024,
     num_steps: int | None = None,
     output_file: str | None = None,
+    motion_file: str | None = None,
     ee_body_names: tuple = (
         "left_ankle_roll_link",
         "right_ankle_roll_link",
@@ -34,6 +35,8 @@ def run_evaluate(
 
     env_cfg = tasks.load_env_cfg(task_id, play=True)
     env_cfg.scene.num_envs = num_envs
+    if motion_file is not None:
+        env_cfg.commands["motion"].motion_file = motion_file
     env = ManagerBasedRlEnv(env_cfg)
     wrapped = RslRlVecEnvWrapper(env)
 
@@ -93,9 +96,11 @@ def main():
     p.add_argument("--num-envs", type=int, default=1024)
     p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--output-file", default=None)
+    p.add_argument("--motion-file", default=None)
     a = p.parse_args()
     run_evaluate(
-        a.task, a.checkpoint_file, a.num_envs, a.num_steps, a.output_file
+        a.task, a.checkpoint_file, a.num_envs, a.num_steps, a.output_file,
+        motion_file=a.motion_file,
     )
 
 
