@@ -131,11 +131,19 @@ class ActorCritic:
             "actor": self.actor.init(k1, jnp.zeros((1, self.actor_obs_dim))),
             "critic": self.critic.init(k2, jnp.zeros((1, self.critic_obs_dim))),
         }
+        # explicit dtype: a weak-typed std (python-scalar fill) comes back
+        # strong-typed from the first jitted update, forcing a full
+        # retrace+recompile of learn_iteration on its second call
+        # (caught by jax_explain_cache_misses in the round-4 multichip
+        # dryrun: the 'warm' iteration recompiled for minutes)
         if p.noise_std_type == "scalar":
-            params["std"] = jnp.full((self.num_actions,), p.init_noise_std)
+            params["std"] = jnp.full(
+                (self.num_actions,), p.init_noise_std, dtype=jnp.float32
+            )
         else:
             params["std"] = jnp.full(
-                (self.num_actions,), jnp.log(p.init_noise_std)
+                (self.num_actions,), jnp.log(p.init_noise_std),
+                dtype=jnp.float32,
             )
         return params
 

@@ -105,28 +105,47 @@ class OnPolicyRunner:
         obs, _ = env.reset()
         env_state = env._state
 
-        if self._learn_jit is None:
-            self._learn_jit = jax.jit(self.ppo.learn_iteration, donate_argnums=0)
-
         # multi-chip data parallelism (replaces reference torchrunx + NCCL,
         # scripts/train.py:216-221): env batch sharded along a 'data' mesh
         # axis over all chips, learner replicated; XLA emits the gradient
         # psum over ICI/DCN inside the same jitted iteration.
         devices = jax.devices()
-        if len(devices) > 1 and env.num_envs % len(devices) == 0:
+        multichip = len(devices) > 1 and env.num_envs % len(devices) == 0
+        if multichip:
+            from jax.sharding import NamedSharding, PartitionSpec
+
             from mjlab_tpu.parallel import (
+                env_sharding_tree,
                 make_env_mesh,
                 shard_env_state,
                 shard_train_state,
+                train_sharding_tree,
             )
 
+            mode = getattr(self.cfg, "learner_sharding", "replicated")
             mesh = make_env_mesh(devices)
             env_state = shard_env_state(env_state, mesh, env.num_envs)
             obs = shard_env_state(obs, mesh, env.num_envs)
-            self.ppo_state = shard_train_state(
-                self.ppo_state, mesh,
-                mode=getattr(self.cfg, "learner_sharding", "replicated"),
-            )
+            self.ppo_state = shard_train_state(self.ppo_state, mesh, mode=mode)
+            if self._learn_jit is None:
+                # explicit out_shardings so the carried state round-trips:
+                # GSPMD otherwise returns untouched leaves replicated and
+                # every subsequent call RECOMPILES on the changed input
+                # shardings (metrics subtree: replicated pytree prefix)
+                out_shardings = (
+                    (
+                        train_sharding_tree(self.ppo_state, mesh, mode),
+                        env_sharding_tree(env_state, mesh, env.num_envs),
+                        env_sharding_tree(obs, mesh, env.num_envs),
+                    ),
+                    NamedSharding(mesh, PartitionSpec()),
+                )
+                self._learn_jit = jax.jit(
+                    self.ppo.learn_iteration, donate_argnums=0,
+                    out_shardings=out_shardings,
+                )
+        if self._learn_jit is None:
+            self._learn_jit = jax.jit(self.ppo.learn_iteration, donate_argnums=0)
 
         carry = (self.ppo_state, env_state, obs)
         steps_per_iter = self.cfg.num_steps_per_env * env.num_envs
