@@ -313,7 +313,11 @@ class ManagerBasedRlEnv:
 
     @property
     def max_episode_length(self) -> int:
-        return int(np.ceil(self.cfg.episode_length_s / self.step_dt))
+        # play variants disable the timeout with episode_length_s=1e9
+        # (reference tracking play cfg); clamp to int32 so comparisons
+        # against the int32 episode_length_buf can't overflow under jit
+        n = int(np.ceil(self.cfg.episode_length_s / self.step_dt))
+        return min(n, np.iinfo(np.int32).max)
 
     @property
     def episode_length_buf(self):
