@@ -99,17 +99,30 @@ def pytree(cls: type[_T]) -> type[_T]:
     data_fields = tuple(data_fields)
     meta_fields = tuple(meta_fields)
 
+    def _aux_of(obj):
+        # memoize the aux wrapper PER INSTANCE: every tree_flatten
+        # otherwise builds a fresh _Aux whose content hash re-runs
+        # tobytes over all static numpy tables (mesh data, contact pair
+        # tables, host_consts) — measured ~10 ms of HOST time per jitted
+        # dispatch of an env step at G1 scale (round-4 env trace).
+        # Static fields are immutable by contract (frozen dataclass,
+        # host-built tables), so identity-cached hashing is sound;
+        # replace() creates a new instance and thus a fresh cache.
+        aux = obj.__dict__.get("_aux_cache")
+        if aux is None:
+            aux = _Aux(tuple(getattr(obj, n) for n in meta_fields))
+            object.__setattr__(obj, "_aux_cache", aux)
+        return aux
+
     def flatten_with_keys(obj):
         children = tuple(
             (jax.tree_util.GetAttrKey(n), getattr(obj, n)) for n in data_fields
         )
-        aux = _Aux(tuple(getattr(obj, n) for n in meta_fields))
-        return children, aux
+        return children, _aux_of(obj)
 
     def flatten(obj):
         children = tuple(getattr(obj, n) for n in data_fields)
-        aux = _Aux(tuple(getattr(obj, n) for n in meta_fields))
-        return children, aux
+        return children, _aux_of(obj)
 
     def unflatten(aux, children):
         obj = object.__new__(cls)
@@ -117,6 +130,8 @@ def pytree(cls: type[_T]) -> type[_T]:
             object.__setattr__(obj, n, v)
         for n, v in zip(meta_fields, aux.values):
             object.__setattr__(obj, n, v)
+        # reuse the SAME _Aux (with its memoized hash) on the round-trip
+        object.__setattr__(obj, "_aux_cache", aux)
         return obj
 
     jax.tree_util.register_pytree_with_keys(cls, flatten_with_keys, unflatten, flatten)
