@@ -265,9 +265,10 @@ def _solve_pallas2_core(m: Model, k: dict, qM_cm, qfsT, wsT, vT, cdofT,
         return jnp.moveaxis(x, 0, 1).reshape(-1, E)
 
     Jeq = jnp.broadcast_to(k["efc_Jeq"], (neq, nv, E)).reshape(neq * nv, E)
-    on_rm = jnp.moveaxis(
-        k["con_on"].reshape(K, R, E), 0, 1
-    ).reshape(R * K, E).astype(jnp.float32)
+    # con_on / con_W* / con_O* arrive in the kernel's own layouts from
+    # make_constraint_lm kernel mode (r-major rows, dof/component major)
+    # — plain reshapes, no transposes
+    on_rm = k["con_on"].astype(jnp.float32)
     do_int = Mh_cm is not None
 
     x, fnc, fcon_rm, qfrc, a_smooth, qacc_int = newton_assemble_solve(
@@ -275,10 +276,11 @@ def _solve_pallas2_core(m: Model, k: dict, qM_cm, qfsT, wsT, vT, cdofT,
         qfsT, wsT, vT, Mh_cm,
         k["efc_D"][:NC], k["efc_aref"][:NC], k["efc_fl"][:NC],
         k["efc_lim_side"], Jeq,
-        cdofT, cm(k["con_pos_k"]), cm(k["con_O1"]), cm(k["con_O2"]),
+        cdofT, cm(k["con_pos_k"]), k["con_O1"].reshape(3 * K, E),
+        k["con_O2"].reshape(3 * K, E),
         cm(k["con_frame_k"]), cm(k["con_mu_dirs"]),
         k["con_Dc"], k["con_bb"], k["con_kimp"], on_rm,
-        cm(k["con_W1"]), cm(k["con_W2"]),
+        k["con_W1"].reshape(nv * K, E), k["con_W2"].reshape(nv * K, E),
         nv=nv, K=K, R=R, ndirs=ndirs, neq=neq, nlim=nlim,
         lim_dofs=tuple(int(a) for a in m.jnt_dofadr[m.limit_jntid]),
         iterations=m.opt.iterations,

@@ -265,8 +265,13 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype,
             "kse,s->ke", ohf, jnp.asarray(pt.con_dim, dtype)
         )  # (K, E) condim in {1,3,4,6}: exact at any precision
         W = jnp.asarray(ancestor_dof_mask(m), dtype)  # (nbody, nv)
-        W1 = jnp.einsum("kbe,bv->kve", ohb1, W)  # (K, nv, E)
-        W2 = jnp.einsum("kbe,bv->kve", ohb2, W)
+        # kernel mode stores the fused-solver layouts DIRECTLY (dof/
+        # component major) so the launcher's moveaxis copies disappear —
+        # the transpose fuses into the producing einsum's output layout
+        kernel_mode = not (int(m.opt.cone) != 0 or assemble_j)
+        wspec = "kbe,bv->vke" if kernel_mode else "kbe,bv->kve"
+        W1 = jnp.einsum(wspec, ohb1, W)  # (K, nv, E) / (nv, K, E)
+        W2 = jnp.einsum(wspec, ohb2, W)
         ohr1 = jnp.einsum(
             "kse,sr->kre", ohf,
             jnp.asarray(np.eye(nb)[root_np[b1_np]], dtype),
@@ -281,8 +286,9 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype,
         )  # (3, nbody, E)
         subtree = jnp.moveaxis(subtree, 0, 1)  # (nbody, 3, E)
         subtree = jnp.broadcast_to(subtree, (nb, 3, E))
-        O1 = jnp.einsum("kre,rxe->kxe", ohr1, subtree)  # (K, 3, E)
-        O2 = jnp.einsum("kre,rxe->kxe", ohr2, subtree)
+        ospec = "kre,rxe->xke" if kernel_mode else "kre,rxe->kxe"
+        O1 = jnp.einsum(ospec, ohr1, subtree)  # (K, 3, E) / (3, K, E)
+        O2 = jnp.einsum(ospec, ohr2, subtree)
 
         iw_body = P("body_invweight0")[..., 0, :]  # (nbody, Eb)
         if iw_body.shape[-1] == 1:
@@ -398,11 +404,18 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype,
 
         if not (elliptic or assemble_j):
             # kernel mode: compact tensors for the fused assemble+solve
-            # kernel; efc contact slices stay zero (the kernel owns them)
+            # kernel; efc contact slices stay zero (the kernel owns them).
+            # con_on is emitted r-major (row r of every slot contiguous,
+            # the kernel's row layout) straight from the broadcasted
+            # comparison — no materialized transpose
+            on_rm = (
+                sel_active[None] & jnp.moveaxis(row_on, 0, 1)
+            ).reshape(R * K, E)
+            # canonical k-major activity for the efc_active rows
             on = (sel_active[:, None] & row_on).reshape(KR, E)
             out.update(
                 con_W1=W1, con_W2=W2, con_O1=O1, con_O2=O2,
-                con_mu_dirs=mu_dirs, con_on=on,
+                con_mu_dirs=mu_dirs, con_on=on_rm,
                 con_Dc=jnp.where(sel_active, Dc, 0.0),
                 con_bb=bb, con_kimp=kk * imp * pos_c,
             )
