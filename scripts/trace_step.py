@@ -22,7 +22,7 @@ TRACE_DIR = "/tmp/jaxtrace"
 
 
 def main():
-    cfg = tasks.load_env_cfg("Mjlab-Velocity-Flat-Unitree-G1")
+    cfg = tasks.load_env_cfg(os.environ.get("TRACE_TASK", "Mjlab-Velocity-Flat-Unitree-G1"))
     cfg.scene.num_envs = E
     env = ManagerBasedRlEnv(cfg)
     env.reset()
