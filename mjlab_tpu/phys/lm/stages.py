@@ -26,9 +26,9 @@ from mjlab_tpu.phys.model import (
     DSBL_GRAVITY, JNT_BALL, JNT_FREE, JNT_HINGE, JNT_SLIDE, Model,
 )
 from mjlab_tpu.phys.lm.base import (
-    Params, force_cross, mat_mul, mat_tvec, mat_vec, motion_cross, quat_mul,
+    Params, force_cross, mat_mul, motion_cross, quat_mul,
     quat_normalize, quat_rot, quat_sub, quat_to_mat, vadd, vcross, vdot,
-    vscale, vsub, vwhere,
+    vscale, vsub,
 )
 
 

@@ -4,7 +4,6 @@ command ranges must flip exactly at the configured global step counts,
 inside the traced state (no recompile), and the resampled commands must
 respect the widened ranges (VERDICT r3 #10: staging had no direct test)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -10,9 +10,7 @@ onnxruntime/onnx are not installable in this environment; protobuf
 itself is the independent half of both."""
 
 import glob
-import os
 
-import jax
 import numpy as np
 import pytest
 
