@@ -105,3 +105,55 @@ def test_fixed_delay():
     # obs lags the raw signal by exactly D control steps
     np.testing.assert_allclose(obs_last[:, 0], 2.0 * raws[-1 - D], atol=1e-5)
     env.close()
+
+
+@pytest.mark.slow
+def test_additive_bias_persists_within_episode_resamples_on_reset():
+    """NoiseModelWithAdditiveBias at the ENV level (reference
+    utils/noise/noise_model.py:36-84): the per-episode bias is constant
+    across steps, differs across envs, and only MASKED envs get a new
+    bias on reset."""
+    import jax
+    from mjlab_tpu.utils.noise import NoiseModelWithAdditiveBiasCfg
+    from mjlab_tpu.utils.noise import UniformNoiseCfg
+    from tests.mini_env import make_pendulum_cfg
+    from mjlab_tpu.envs.manager_based_rl_env import ManagerBasedRlEnv
+
+    E4 = 4
+    cfg = make_pendulum_cfg(num_envs=E4)
+    pol = cfg.observations["policy"]
+    term = pol.terms["joint_pos"]
+    term.noise = NoiseModelWithAdditiveBiasCfg(
+        noise_cfg=None,
+        bias_noise_cfg=UniformNoiseCfg(n_min=-0.5, n_max=0.5),
+    )
+    pol.enable_corruption = True
+    env = ManagerBasedRlEnv(cfg)
+    env.reset()
+    step = jax.jit(env._traced_step)
+    state = env._state
+    action = jnp.zeros((E4, 1), jnp.float32)
+
+    def obs_minus_raw(state, obs):
+        raw = 2.0 * np.asarray(state.data.qpos)[:, :1]  # scale=2.0
+        return np.asarray(obs["policy"])[:, :1] - raw
+
+    state, obs, *_ = step(state, action)
+    b1 = obs_minus_raw(state, obs)
+    state, obs, *_ = step(state, action)
+    b2 = obs_minus_raw(state, obs)
+    # bias constant across steps, nonzero, and env-distinct
+    np.testing.assert_allclose(b1, b2, atol=1e-5)
+    assert np.abs(b1).max() > 1e-3
+    assert np.unique(np.round(b1, 5)).size > 1
+
+    # masked reset: only envs 0..1 get a fresh bias
+    mask = jnp.arange(E4) < 2
+    env.ctx.load(state)
+    env.observation_manager.reset(mask)
+    state = env.ctx.freeze()
+    state, obs, *_ = step(state, action)
+    b3 = obs_minus_raw(state, obs)
+    np.testing.assert_allclose(b3[2:], b1[2:], atol=1e-5)
+    assert np.abs(b3[:2] - b1[:2]).max() > 1e-4
+    env.close()
