@@ -19,6 +19,7 @@ def run_play(
     num_steps: int = 200,
     viewer: str = "headless",
     wandb_run_path: str | None = None,
+    motion_file: str | None = None,
 ):
     from mjlab_tpu.utils.device import apply_platform_env
 
@@ -30,6 +31,14 @@ def run_play(
 
     env_cfg = tasks.load_env_cfg(task, play=True)
     env_cfg.scene.num_envs = num_envs
+    # tracking tasks need a reference motion (reference play.py resolves
+    # it next to the wandb checkpoint; offline, pass --motion-file)
+    if (
+        motion_file is not None
+        and isinstance(env_cfg.commands, dict)
+        and "motion" in env_cfg.commands
+    ):
+        env_cfg.commands["motion"].motion_file = motion_file
     env = ManagerBasedRlEnv(env_cfg)
     wrapped = RslRlVecEnvWrapper(env)
     A = env.action_manager.total_action_dim
@@ -117,10 +126,14 @@ def main():
         "--wandb-run-path", default=None,
         help="resolve the checkpoint from a W&B run (entity/project/run_id)",
     )
+    p.add_argument(
+        "--motion-file", default=None,
+        help="reference motion npz for tracking tasks",
+    )
     a = p.parse_args()
     run_play(
         a.task, a.agent, a.checkpoint_file, a.num_envs, a.num_steps, a.viewer,
-        wandb_run_path=a.wandb_run_path,
+        wandb_run_path=a.wandb_run_path, motion_file=a.motion_file,
     )
 
 
