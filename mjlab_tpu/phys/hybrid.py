@@ -489,7 +489,16 @@ def _step_envlast(m: Model, bf: frozenset, d: Data) -> Data:
     vT = d.qvel.T
     ctrlT = d.ctrl.T
 
-    gxpos, gxmat, subcom, cdof, cinA, cinc, xipos = kin_com(m, qT, interp)
+    mcT = mcqT = None
+    if m.nmocap:
+        mcT = jnp.moveaxis(d.mocap_pos, 0, -1)  # (nmocap, 3, E)
+        mcqT = jnp.moveaxis(d.mocap_quat, 0, -1)  # (nmocap, 4, E)
+    from mjlab_tpu.phys.smooth_pallas import dr_smooth_inputs
+
+    dr = dr_smooth_inputs(m, bf, dtype)
+    gxpos, gxmat, subcom, cdof, cinA, cinc, xipos = kin_com(
+        m, qT, mcT, mcqT, interp, bf=bf, dr=dr
+    )
 
     # contact stack on planes straight from the kernel outputs;
     # non-collision geoms get zero placeholder planes (collision_lm
@@ -517,9 +526,9 @@ def _step_envlast(m: Model, bf: frozenset, d: Data) -> Data:
     qfaT = d.qfrc_applied.T
     qfs, afrc, avel, mh_diag = vel_smooth(
         m, qT, vT, ctrlT, cdof, cinA, cinc, (subcom, xipos, xfrcT, qfaT),
-        interp,
+        interp, bf=bf, dr=dr,
     )
-    qM_pairs = crb_packed(m, cdof, cinA, cinc, interp)
+    qM_pairs = crb_packed(m, cdof, cinA, cinc, interp, bf=bf, dr=dr)
     qM_cm = qm_dense_cm(m, qM_pairs)
 
     Mh_cm = None

@@ -86,9 +86,80 @@ class HostParams(Params):
         return float(v[idx]) if idx else float(v)
 
 
-# model fields the smooth kernels bake in as constants — any of these
-# being DR-batched forces the fallback to the vmapped stages
+# model fields the smooth kernels consume: shared values are baked in as
+# trace-time constants (HostParams); DR-batched ones ride in as per-env
+# plane inputs (KernelParams refs)
 SMOOTH_CONST_FIELDS = frozenset(SMOOTH_HOST_FIELDS)
+
+
+class KernelParams(HostParams):
+    """HostParams plus per-env planes for DR-batched model fields.
+
+    refs maps field name -> kernel ref of shape (prod(rest), sub, 128)
+    (the field env-blocked with the component index flattened row-major);
+    shapes maps field name -> the per-env component shape `rest`. Fields
+    with a ref return (sub, 128) tiles from .plane(); everything else
+    falls back to the concrete host constant."""
+
+    def __init__(self, m, num_envs, refs, shapes):
+        super().__init__(m, num_envs)
+        self.refs = refs
+        self.shapes = shapes
+        self.batched = frozenset(refs)
+
+    def plane(self, name, *idx):
+        if name in self.refs:
+            rest = self.shapes[name]
+            flat = 0
+            for i, s in zip(idx, rest):
+                flat = flat * int(s) + int(i)
+            return self.refs[name][flat]
+        return super().plane(name, *idx)
+
+
+def dr_smooth_plan(m: Model, bf: frozenset):
+    """Static plan for DR-batched smooth fields: (names, shapes) where
+    names is the sorted tuple of batched SMOOTH_CONST_FIELDS and shapes
+    maps each to its per-env component shape."""
+    names = tuple(sorted(SMOOTH_CONST_FIELDS & bf))
+    shapes = {n: tuple(getattr(m, n).shape[1:]) for n in names}
+    return names, shapes
+
+
+def dr_smooth_inputs(m: Model, bf: frozenset, dtype):
+    """Env-last (rows, E) arrays for the DR-batched smooth fields, in
+    dr_smooth_plan order (the kernels' trailing inputs)."""
+    names, shapes = dr_smooth_plan(m, bf)
+    arrs = []
+    for n in names:
+        v = getattr(m, n)  # (E, *rest)
+        rows = int(np.prod(shapes[n])) if shapes[n] else 1
+        arrs.append(
+            jnp.moveaxis(v.reshape(v.shape[0], rows), 0, -1).astype(dtype)
+        )
+    return arrs
+
+
+def _dr_wire(m: Model, bf: frozenset, sub: int, E: int, dr):
+    """Shared kernel-wiring for DR fields: returns (names, shapes,
+    extra in_specs, extra blocked operands, make_params(refs))."""
+    names, shapes = dr_smooth_plan(m, bf)
+    if dr is None:
+        dr = dr_smooth_inputs(m, bf, jnp.float32)
+    assert len(dr) == len(names)
+    specs = [
+        _spec((a.shape[0],), sub) for a in dr
+    ]
+    ops = [_env_blocks(a) for a in dr]
+
+    def make_params(refs_list):
+        if not names:
+            return HostParams(m, E)
+        return KernelParams(
+            m, E, dict(zip(names, refs_list)), shapes
+        )
+
+    return names, specs, ops, make_params
 
 
 def smooth_pallas_supported(m: Model, bf: frozenset, E: int, dtype) -> bool:
@@ -96,11 +167,9 @@ def smooth_pallas_supported(m: Model, bf: frozenset, E: int, dtype) -> bool:
     return (
         _block_ok(E)
         and dtype == jnp.float32
-        and m.nmocap == 0
         and m.na == 0
         and m.ntendon == 0
         and m.nv > 0
-        and not (SMOOTH_CONST_FIELDS & bf)
         and all(int(t) == TRN_JOINT for t in np.asarray(m.actuator_trntype))
     )
 
@@ -165,22 +234,37 @@ def collision_geoms(m: Model) -> tuple[int, ...]:
     )
 
 
-def kin_com(m: Model, qT: jax.Array, interpret: bool = False):
-    """qT: (nq, E) f32. Returns env-last arrays:
-    gxpos (Gc, 3, E), gxmat (Gc, 9, E) for the collision_geoms(m) subset,
-    subcom (nbody, 3, E), cdof (nv, 6, E), cinA (nbody, 6, E),
-    cinc (nbody, 3, E), xipos (nbody, 3, E)."""
+def kin_com(m: Model, qT: jax.Array, mocapT: jax.Array | None = None,
+            mocapqT: jax.Array | None = None, interpret: bool = False,
+            bf: frozenset = frozenset(), dr=None):
+    """qT: (nq, E) f32; mocapT (nmocap, 3, E) / mocapqT (nmocap, 4, E)
+    mocap body frames (required when m.nmocap > 0); bf/dr wire DR-batched
+    smooth fields in as per-env planes (dr_smooth_inputs). Returns
+    env-last: gxpos (Gc, 3, E), gxmat (Gc, 9, E) for the
+    collision_geoms(m) subset, subcom (nbody, 3, E), cdof (nv, 6, E),
+    cinA (nbody, 6, E), cinc (nbody, 3, E), xipos (nbody, 3, E)."""
     E = qT.shape[-1]
     sub = _sublanes(E)
     nb, nv, nq = m.nbody, m.nv, m.nq
+    nmc = m.nmocap
     cg = collision_geoms(m)
     G = max(len(cg), 1)
-    P = HostParams(m, E)
+    _, dr_specs, dr_ops, make_params = _dr_wire(m, bf, sub, E, dr)
+    if nmc:
+        assert mocapT is not None and mocapqT is not None
+    else:  # zero-row pallas operands are unsupported: one dummy row
+        mocapT = jnp.zeros((1, 3, E), qT.dtype)
+        mocapqT = jnp.zeros((1, 4, E), qT.dtype)
 
-    def kernel(q_ref, gxpos_ref, gxmat_ref, subcom_ref, cdof_ref,
-               cinA_ref, cinc_ref, xipos_ref):
+    def kernel(q_ref, mc_ref, mcq_ref, *rest):
+        dr_refs = rest[: len(dr_specs)]
+        (gxpos_ref, gxmat_ref, subcom_ref, cdof_ref, cinA_ref, cinc_ref,
+         xipos_ref) = rest[len(dr_specs):]
+        P = make_params(dr_refs)
         q = tuple(q_ref[i] for i in range(nq))
-        k = stages.kinematics_lm(m, P, q, [], [], geoms=cg, sites=())
+        mpos = [tuple(mc_ref[i, c] for c in range(3)) for i in range(nmc)]
+        mquat = [tuple(mcq_ref[i, c] for c in range(4)) for i in range(nmc)]
+        k = stages.kinematics_lm(m, P, q, mpos, mquat, geoms=cg, sites=())
         k = stages.com_pos_lm(m, P, k)
         for o, g in enumerate(cg):
             for c in range(3):
@@ -202,7 +286,10 @@ def kin_com(m: Model, qT: jax.Array, interpret: bool = False):
     out = pl.pallas_call(
         kernel,
         grid=(E // (sub * 128),),
-        in_specs=[_spec((nq,), sub)],
+        in_specs=[
+            _spec((nq,), sub),
+            _spec((max(nmc, 1), 3), sub), _spec((max(nmc, 1), 4), sub),
+        ] + dr_specs,
         out_specs=(
             _spec((G, 3), sub), _spec((G, 9), sub), _spec((nb, 3), sub),
             _spec((nv, 6), sub), _spec((nb, 6), sub), _spec((nb, 3), sub),
@@ -214,7 +301,7 @@ def kin_com(m: Model, qT: jax.Array, interpret: bool = False):
             _out_sd((nb, 3), E),
         ),
         interpret=interpret,
-    )(_env_blocks(qT))
+    )(_env_blocks(qT), _env_blocks(mocapT), _env_blocks(mocapqT), *dr_ops)
     return tuple(_unblocks(o) for o in out)
 
 
@@ -223,16 +310,20 @@ def kin_com(m: Model, qT: jax.Array, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def crb_packed(m: Model, cdof, cinA, cinc, interpret: bool = False):
+def crb_packed(m: Model, cdof, cinA, cinc, interpret: bool = False,
+               bf: frozenset = frozenset(), dr=None):
     """-> qM_pairs (npairs, E): ancestor-pair planes of the CRB mass
     matrix in _crb_pairs(m) order (armature included on the diagonal)."""
     E = cdof.shape[-1]
     sub = _sublanes(E)
     nb, nv = m.nbody, m.nv
-    P = HostParams(m, E)
+    _, dr_specs, dr_ops, make_params = _dr_wire(m, bf, sub, E, dr)
     pairs = _crb_pairs(m)
 
-    def kernel(cdof_ref, cinA_ref, cinc_ref, out_ref):
+    def kernel(cdof_ref, cinA_ref, cinc_ref, *rest):
+        dr_refs = rest[: len(dr_specs)]
+        (out_ref,) = rest[len(dr_specs):]
+        P = make_params(dr_refs)
         k = {
             "cdof": [
                 tuple(cdof_ref[i, c] for c in range(6)) for i in range(nv)
@@ -253,11 +344,12 @@ def crb_packed(m: Model, cdof, cinA, cinc, interpret: bool = False):
     out = pl.pallas_call(
         kernel,
         grid=(E // (sub * 128),),
-        in_specs=[_spec((nv, 6), sub), _spec((nb, 6), sub), _spec((nb, 3), sub)],
+        in_specs=[_spec((nv, 6), sub), _spec((nb, 6), sub),
+                  _spec((nb, 3), sub)] + dr_specs,
         out_specs=_spec((len(pairs),), sub),
         out_shape=_out_sd((len(pairs),), E),
         interpret=interpret,
-    )(_env_blocks(cdof), _env_blocks(cinA), _env_blocks(cinc))
+    )(_env_blocks(cdof), _env_blocks(cinA), _env_blocks(cinc), *dr_ops)
     return _unblocks(out)
 
 
@@ -287,7 +379,8 @@ def qm_dense_cm(m: Model, qM_pairs: jax.Array) -> jax.Array:
 
 
 def vel_smooth(m: Model, qT, vT, ctrlT, cdof, cinA, cinc, xq,
-               interpret: bool = False):
+               interpret: bool = False, bf: frozenset = frozenset(),
+               dr=None):
     """xq = (subcom (nb,3,E), xipos (nb,3,E), xfrcT (nb,6,E), qfaT (nv,E)).
 
     Returns (qfrc_smooth (nv, E), actuator_force (nu, E),
@@ -298,7 +391,7 @@ def vel_smooth(m: Model, qT, vT, ctrlT, cdof, cinA, cinc, xq,
     E = vT.shape[-1]
     sub = _sublanes(E)
     nb, nv, nu, nq = m.nbody, m.nv, m.nu, m.nq
-    P = HostParams(m, E)
+    _, dr_specs, dr_ops, make_params = _dr_wire(m, bf, sub, E, dr)
     hc = m.host_consts or {}
     # NOTE: don't use hc.get(k, np.asarray(...)) — the default evaluates
     # eagerly and m.opt.* are tracers when the model rides in env state
@@ -318,8 +411,10 @@ def vel_smooth(m: Model, qT, vT, ctrlT, cdof, cinA, cinc, xq,
     )
 
     def kernel(q_ref, v_ref, ctrl_ref, cdof_ref, cinA_ref, cinc_ref,
-               subcom_ref, xipos_ref, xfrc_ref, qfa_ref,
-               qfs_ref, afrc_ref, avel_ref, diag_ref):
+               subcom_ref, xipos_ref, xfrc_ref, qfa_ref, *rest):
+        dr_refs = rest[: len(dr_specs)]
+        qfs_ref, afrc_ref, avel_ref, diag_ref = rest[len(dr_specs):]
+        P = make_params(dr_refs)
         q = tuple(q_ref[i] for i in range(nq))
         qvel = tuple(v_ref[i] for i in range(nv))
         ctrl = tuple(ctrl_ref[u] for u in range(nu))
@@ -389,7 +484,7 @@ def vel_smooth(m: Model, qT, vT, ctrlT, cdof, cinA, cinc, xq,
             _spec((nv, 6), sub), _spec((nb, 6), sub), _spec((nb, 3), sub),
             _spec((nb, 3), sub), _spec((nb, 3), sub), _spec((nb, 6), sub),
             _spec((nv,), sub),
-        ],
+        ] + dr_specs,
         out_specs=(
             _spec((nv,), sub), _spec((nu,), sub), _spec((nu,), sub),
             _spec((nv,), sub),
@@ -403,7 +498,7 @@ def vel_smooth(m: Model, qT, vT, ctrlT, cdof, cinA, cinc, xq,
         _env_blocks(qT), _env_blocks(vT), _env_blocks(ctrlT),
         _env_blocks(cdof), _env_blocks(cinA), _env_blocks(cinc),
         _env_blocks(subcom), _env_blocks(xipos), _env_blocks(xfrcT),
-        _env_blocks(qfaT),
+        _env_blocks(qfaT), *dr_ops,
     )
     return tuple(_unblocks(o) for o in out)
 
@@ -462,6 +557,7 @@ def integrate_envlast(m: Model, qT, vT, qacc_int):
 
     bad = bad_of(qT_new) | bad_of(vT_new) | bad_of(qacc_int)
     qpos0 = jnp.asarray(m.qpos0, qT.dtype)
-    qT_new = jnp.where(bad, qpos0[:, None], qT_new)
+    qpos0 = qpos0.T if qpos0.ndim == 2 else qpos0[:, None]  # DR-batched
+    qT_new = jnp.where(bad, qpos0, qT_new)
     vT_new = jnp.where(bad, 0.0, vT_new)
     return qT_new, vT_new, bad

@@ -191,3 +191,78 @@ def test_step_envlast_matches_hybrid_toy(monkeypatch):
     assert np.array_equal(np.asarray(da.con_found), np.asarray(db.con_found))
     assert np.array_equal(np.asarray(da.con_sel), np.asarray(db.con_sel))
     assert int(np.asarray(db.ncheck_reset).sum()) == 0
+
+
+MOCAP_XML = TOY_XML.replace(
+    "</worldbody>",
+    """    <body name="target" mocap="true" pos="1 0 0.5">
+      <geom type="sphere" size="0.02" contype="0" conaffinity="0"
+            mass="0.1"/>
+    </body>
+  </worldbody>""",
+)
+
+
+@pytest.mark.slow
+def test_step_envlast_mocap_and_dr_fields(monkeypatch):
+    """Round-5 gate relaxations: mocap bodies (frames fed into kin_com)
+    and DR-batched smooth fields (KernelParams per-env plane inputs) on
+    the env-last kernel path vs the vmapped smooth stages. The tracking
+    task batches body_ipos (base_com event) and YAM lift-cube carries
+    nmocap=1 — both previously fell back to the round-3 hybrid substep."""
+    mj = mujoco.MjModel.from_xml_string(MOCAP_XML)
+    m = put_model(mj, dtype=jnp.float32, nconmax=12)
+    assert m.nmocap == 1
+    rng = np.random.default_rng(3)
+
+    # DR-batch body_ipos (additive offsets) and dof_damping (scale), the
+    # tracking/velocity randomization surface
+    bf = frozenset({"body_ipos", "dof_damping"})
+    ipos = np.tile(np.asarray(m.body_ipos, np.float32), (E, 1, 1))
+    ipos += 0.02 * rng.standard_normal(ipos.shape).astype(np.float32)
+    damp = np.tile(np.asarray(m.dof_damping, np.float32), (E, 1))
+    damp *= rng.uniform(0.5, 1.5, damp.shape).astype(np.float32)
+    mB = m.replace(
+        body_ipos=jnp.asarray(ipos), dof_damping=jnp.asarray(damp)
+    )
+    assert smooth_pallas_supported(mB, bf, E, jnp.float32)
+
+    dB = _state_f32(m, mj, E)
+    dB = dB.replace(
+        mocap_pos=jnp.asarray(
+            rng.uniform(-1, 1, (E, 1, 3)), jnp.float32
+        ),
+        mocap_quat=jnp.asarray(
+            rng.standard_normal((E, 1, 4)), jnp.float32
+        ),
+    )
+    axes = model_in_axes(mB, bf)
+
+    monkeypatch.setenv("MJLAB_TPU_SOLVER", "pallas2")
+    monkeypatch.setenv("MJLAB_TPU_SOLVER_INTERPRET", "1")
+
+    monkeypatch.setenv("MJLAB_TPU_SMOOTH", "vmap")
+    step_a = jax.jit(lambda dd: step_hybrid(mB, bf, dd, axes, lean=True))
+    da = dB
+    for _ in range(3):
+        da = step_a(da)
+
+    monkeypatch.setenv("MJLAB_TPU_SMOOTH", "pallas")
+    assert _use_smooth_pallas(mB, bf, dB, E)
+    step_b = jax.jit(lambda dd: step_hybrid(mB, bf, dd, axes, lean=True))
+    db = dB
+    for _ in range(3):
+        db = step_b(db)
+
+    for f, tol in (
+        ("qpos", 1e-4), ("qvel", 1e-3), ("qacc", 5e-3),
+        ("qfrc_constraint", 5e-3), ("efc_force", 5e-3),
+        ("condist", 1e-4),
+    ):
+        err = _rel_err(getattr(da, f), getattr(db, f))
+        assert err < tol, f"{f}: {err:.2e}"
+    assert int(np.asarray(db.ncheck_reset).sum()) == 0
+
+    # the DR inputs actually reach the kernels: envs differ
+    qa = np.asarray(db.qacc)
+    assert np.abs(qa - qa[0]).max() > 1e-6
