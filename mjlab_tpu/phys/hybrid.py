@@ -233,11 +233,12 @@ def _use_pallas2(m: Model, d: Data, E: int) -> bool:
              or os.environ.get("MJLAB_TPU_SOLVER_INTERPRET"))
         and E % 128 == 0
         and d.qpos.dtype == jnp.float32
-        and int(m.opt.cone) == 0
         and m.ncon_max > 0
         and m.pairs.ncon > 0
         and m.nlimit > 0  # kernel assumes a nonempty limit block
-        and m.rows_per_con % 2 == 0
+        # pyramid rows come in +-direction pairs; elliptic rows are
+        # [n, t1, t2, torsion, roll1, roll2][:condim_max]
+        and (int(m.opt.cone) != 0 or m.rows_per_con % 2 == 0)
     )
 
 
@@ -256,7 +257,8 @@ def _solve_pallas2_core(m: Model, k: dict, qM_cm, qfsT, wsT, vT, cdofT,
     nv = m.nv
     K = m.ncon_max
     R = m.rows_per_con
-    ndirs = R // 2
+    cone = int(m.opt.cone)
+    ndirs = (R - 1) if cone else R // 2
     neq = m.neq_jnt
     nlim = m.nlimit
     NC = neq + nv + nlim
@@ -270,6 +272,8 @@ def _solve_pallas2_core(m: Model, k: dict, qM_cm, qfsT, wsT, vT, cdofT,
     # — plain reshapes, no transposes
     on_rm = k["con_on"].astype(jnp.float32)
     do_int = Mh_cm is not None
+    # pyramidal: per-direction mu; elliptic: friction-row D (dir-major)
+    mu_or_D = cm(k["con_Dfri"]) if cone else cm(k["con_mu_dirs"])
 
     x, fnc, fcon_rm, qfrc, a_smooth, qacc_int = newton_assemble_solve(
         qM_cm,
@@ -278,7 +282,8 @@ def _solve_pallas2_core(m: Model, k: dict, qM_cm, qfsT, wsT, vT, cdofT,
         k["efc_lim_side"], Jeq,
         cdofT, cm(k["con_pos_k"]), k["con_O1"].reshape(3 * K, E),
         k["con_O2"].reshape(3 * K, E),
-        cm(k["con_frame_k"]), cm(k["con_mu_dirs"]),
+        cm(k["con_frame_k"]), mu_or_D,
+        k["con_mut"] if cone else None,
         k["con_Dc"], k["con_bb"], k["con_kimp"], on_rm,
         k["con_W1"].reshape(nv * K, E), k["con_W2"].reshape(nv * K, E),
         nv=nv, K=K, R=R, ndirs=ndirs, neq=neq, nlim=nlim,
@@ -286,7 +291,7 @@ def _solve_pallas2_core(m: Model, k: dict, qM_cm, qfsT, wsT, vT, cdofT,
         iterations=m.opt.iterations,
         ls_iterations=max(m.opt.ls_iterations, 8),
         tolerance=float(m.opt.tolerance),
-        do_int=do_int,
+        do_int=do_int, cone=cone,
         interpret=bool(os.environ.get("MJLAB_TPU_SOLVER_INTERPRET")),
     )
     fcon = jnp.moveaxis(fcon_rm.reshape(R, K, E), 0, 1).reshape(R * K, E)

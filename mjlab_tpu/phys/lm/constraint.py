@@ -268,7 +268,7 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype,
         # kernel mode stores the fused-solver layouts DIRECTLY (dof/
         # component major) so the launcher's moveaxis copies disappear —
         # the transpose fuses into the producing einsum's output layout
-        kernel_mode = not (int(m.opt.cone) != 0 or assemble_j)
+        kernel_mode = not assemble_j
         wspec = "kbe,bv->vke" if kernel_mode else "kbe,bv->kve"
         W1 = jnp.einsum(wspec, ohb1, W)  # (K, nv, E) / (nv, K, E)
         W2 = jnp.einsum(wspec, ohb2, W)
@@ -300,7 +300,7 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype,
         invweight_t = iw_slot1 + iw_slot2  # (K, E)
 
         elliptic = int(m.opt.cone) != 0
-        if elliptic or assemble_j:
+        if assemble_j:
             # point Jacobians
             cd = k["cdof"]  # list of 6-plane tuples
             cd_ang = jnp.stack([jnp.stack(c[:3]) for c in cd])  # (nv, 3, E)
@@ -337,7 +337,7 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype,
             0.0,
         )  # (K, ndirs, E)
 
-        if elliptic or assemble_j:
+        if assemble_j:
             Jn, Jt1, Jt2 = Jc3[:, 0], Jc3[:, 1], Jc3[:, 2]
             dirJ = [Jt1, Jt2]
             if ndirs > 2:
@@ -353,8 +353,6 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype,
             #   D_i = D_n * impratio * (mu_i / mu_0)^2    (friction rows)
             #   aref_n = -b vel_n - k imp pos; aref_i = -b vel_i
             #   efc_pos/margin zero on friction rows
-            rows_list = [Jn] + [dirJ[i] for i in range(ndirs)]
-            rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv, E)
             row_on = (
                 jnp.arange(R, dtype=dtype)[None, :, None]
                 < jnp.minimum(dim_k, float(R))[:, None, :]
@@ -362,17 +360,21 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype,
             imp, kk, bb, Dn = _efc_kbid(solref_k, solimp_k, pos_c, invweight_t)
             mu0 = jnp.maximum(mu_dirs[:, 0], 1e-10)
             ratio2 = jnp.square(mu_dirs / mu0[:, None])  # (K, ndirs, E)
-            D_rows = jnp.concatenate(
-                [Dn[:, None], Dn[:, None] * m.opt.impratio * ratio2], axis=1
-            )  # (K, R, E)
-            vel = jnp.einsum("krve,ve->kre", rowsJ, qv)
-            aref_c = -bb[:, None] * vel
-            aref_c = aref_c.at[:, 0].add(-kk * imp * pos_c)
             zR1 = jnp.zeros((K, R - 1, E), dtype)
             pos_rows = jnp.concatenate([dist_k[:, None], zR1], axis=1)
             margin_rows = jnp.concatenate(
                 [jnp.broadcast_to(margin_k, (K, E))[:, None], zR1], axis=1
             )
+            if assemble_j:
+                rows_list = [Jn] + [dirJ[i] for i in range(ndirs)]
+                rowsJ = jnp.stack(rows_list, axis=1)  # (K, R, nv, E)
+                D_rows = jnp.concatenate(
+                    [Dn[:, None], Dn[:, None] * m.opt.impratio * ratio2],
+                    axis=1,
+                )  # (K, R, E)
+                vel = jnp.einsum("krve,ve->kre", rowsJ, qv)
+                aref_c = -bb[:, None] * vel
+                aref_c = aref_c.at[:, 0].add(-kk * imp * pos_c)
         else:
             row_count = jnp.where(
                 frictionless, 4.0, 2.0 * (jnp.maximum(dim_k, 3.0) - 1.0)
@@ -402,7 +404,7 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype,
                 aref_c = -bb[:, None] * vel - (kk * imp * pos_c)[:, None]
                 D_rows = jnp.broadcast_to(Dc[:, None], (K, R, E))
 
-        if not (elliptic or assemble_j):
+        if not assemble_j:
             # kernel mode: compact tensors for the fused assemble+solve
             # kernel; efc contact slices stay zero (the kernel owns them).
             # con_on is emitted r-major (row r of every slot contiguous,
@@ -413,11 +415,28 @@ def make_constraint_lm(m: Model, P: Params, k: dict, q, qvel, dtype,
             ).reshape(R * K, E)
             # canonical k-major activity for the efc_active rows
             on = (sel_active[:, None] & row_on).reshape(KR, E)
+            if elliptic:
+                # elliptic kernel extras: per-friction-row D (dir-major,
+                # the cm() layout) and the whitened cone coefficient
+                # mu~ = mu_slide / sqrt(impratio) (lm/solver._ell_scaled_lm)
+                Dck = jnp.where(sel_active, Dn, 0.0)
+                Dfri = Dck[:, None] * m.opt.impratio * ratio2  # (K,nd,E)
+                mut = mu_k[:, 0] / jnp.sqrt(
+                    jnp.maximum(m.opt.impratio, 1e-12)
+                )
+                out.update(
+                    con_Dfri=Dfri, con_mut=jnp.where(sel_active, mut, 0.0),
+                    con_Dc=Dck,
+                    con_bb=bb, con_kimp=kk * imp * pos_c,
+                )
+            else:
+                out.update(
+                    con_mu_dirs=mu_dirs,
+                    con_Dc=jnp.where(sel_active, Dc, 0.0),
+                    con_bb=bb, con_kimp=kk * imp * pos_c,
+                )
             out.update(
-                con_W1=W1, con_W2=W2, con_O1=O1, con_O2=O2,
-                con_mu_dirs=mu_dirs, con_on=on_rm,
-                con_Dc=jnp.where(sel_active, Dc, 0.0),
-                con_bb=bb, con_kimp=kk * imp * pos_c,
+                con_W1=W1, con_W2=W2, con_O1=O1, con_O2=O2, con_on=on_rm,
             )
             zKR = jnp.zeros((KR, E), dtype)
             D_b.append(zKR)

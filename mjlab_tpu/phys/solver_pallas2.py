@@ -44,15 +44,16 @@ LANES = 128
 
 
 def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
-                 ls_iterations, tolerance, do_int):
+                 ls_iterations, tolerance, do_int, cone=0):
     RK = R * K
     ND = RK + neq  # dense rows (contacts r-major, then equality)
     NC = neq + nv + nlim  # non-contact rows in canonical efc order
+    elliptic = cone != 0
 
     def kernel(Mc_ref, qfs_ref, ws_ref, qvel_ref, Mh_ref,
                Dnc_ref, arefnc_ref, flnc_ref, side_ref, Jeq_ref,
                cdof_ref, posk_ref, O1_ref, O2_ref, frame_ref, mu_ref,
-               Dc_ref, bb_ref, kimp_ref, on_ref, W1_ref, W2_ref,
+               mut_ref, Dc_ref, bb_ref, kimp_ref, on_ref, W1_ref, W2_ref,
                x_out, fnc_out, fcon_out, qfrc_out, asm_out, qint_out,
                J_scr, H_scr, L_scr, Dd_scr, arefd_scr):
         # ---------- phase A: rebuild dense rows in VMEM ----------
@@ -82,28 +83,54 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                 acc += frame_ref[(f * 3 + 1) * K:(f * 3 + 2) * K, :] * jd[1]
                 acc += frame_ref[(f * 3 + 2) * K:(f * 3 + 3) * K, :] * jd[2]
                 f3.append(acc)
-            for j in range(ndirs):
-                mu_j = mu_ref[j * K:(j + 1) * K, :]
-                rp = 2 * j
-                rm = 2 * j + 1
-                J_scr[i, rp * K:(rp + 1) * K, :] = (
-                    on[rp * K:(rp + 1) * K, :] * (f3[0] + mu_j * f3[1 + j])
-                )
-                J_scr[i, rm * K:(rm + 1) * K, :] = (
-                    on[rm * K:(rm + 1) * K, :] * (f3[0] - mu_j * f3[1 + j])
-                )
+            if elliptic:
+                # rows [normal, t1, t2, torsion, roll1, roll2][:R] — the
+                # friction rows are the raw frame-rotated point/angular
+                # jacobian rows (lm/constraint.py elliptic rowsJ)
+                rows = [f3[0], f3[1], f3[2]][: 1 + min(ndirs, 2)]
+                if ndirs > 2:
+                    ja = [
+                        cdof_ref[i * 6 + c:i * 6 + c + 1, :] * (w2 - w1)
+                        for c in range(3)
+                    ]
+                    for f in range(ndirs - 2):
+                        acc = frame_ref[(f * 3 + 0) * K:(f * 3 + 1) * K, :] * ja[0]
+                        acc += frame_ref[(f * 3 + 1) * K:(f * 3 + 2) * K, :] * ja[1]
+                        acc += frame_ref[(f * 3 + 2) * K:(f * 3 + 3) * K, :] * ja[2]
+                        rows.append(acc)
+                for r in range(R):
+                    J_scr[i, r * K:(r + 1) * K, :] = (
+                        on[r * K:(r + 1) * K, :] * rows[r]
+                    )
+            else:
+                for j in range(ndirs):
+                    mu_j = mu_ref[j * K:(j + 1) * K, :]
+                    rp = 2 * j
+                    rm = 2 * j + 1
+                    J_scr[i, rp * K:(rp + 1) * K, :] = (
+                        on[rp * K:(rp + 1) * K, :] * (f3[0] + mu_j * f3[1 + j])
+                    )
+                    J_scr[i, rm * K:(rm + 1) * K, :] = (
+                        on[rm * K:(rm + 1) * K, :] * (f3[0] - mu_j * f3[1 + j])
+                    )
             for e in range(neq):
                 J_scr[i, RK + e:RK + e + 1, :] = Jeq_ref[e * nv + i:e * nv + i + 1, :]
 
-        # dense-row D: contacts share the slot Dc; equality uses Dnc[0:neq]
+        # dense-row D: pyramidal contacts share the slot Dc; elliptic
+        # friction rows carry Dn*impratio*(mu_i/mu_0)^2 (mu_ref = Dfri);
+        # equality uses Dnc[0:neq]
         Dc = Dc_ref[:]  # (K, 128), inactive slots pre-zeroed
         for r in range(R):
-            Dd_scr[r * K:(r + 1) * K, :] = on[r * K:(r + 1) * K, :] * Dc
+            if elliptic and r > 0:
+                Dr = mu_ref[(r - 1) * K:r * K, :]
+            else:
+                Dr = Dc
+            Dd_scr[r * K:(r + 1) * K, :] = on[r * K:(r + 1) * K, :] * Dr
         for e in range(neq):
             Dd_scr[RK + e:RK + e + 1, :] = Dnc_ref[e:e + 1, :]
 
-        # contact aref = -bb * (J qvel) - kimp, same for all R rows of a
-        # slot's pyramid except vel differs per row
+        # contact aref = -bb * (J qvel) [- kimp on the position rows:
+        # all R pyramid rows, only the normal row for elliptic]
         qv = qvel_ref[:]  # (nv, 128)
         velc = J_scr[0, 0:RK, :] * qv[0:1, :]
         for i in range(1, nv):
@@ -112,7 +139,10 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
         kimp = kimp_ref[:]
         for r in range(R):
             sl = slice(r * K, (r + 1) * K)
-            arefd_scr[sl, :] = on[sl, :] * (-bb * velc[sl, :] - kimp)
+            a = -bb * velc[sl, :]
+            if not (elliptic and r > 0):
+                a = a - kimp
+            arefd_scr[sl, :] = on[sl, :] * a
         for e in range(neq):
             arefd_scr[RK + e:RK + e + 1, :] = arefnc_ref[e:e + 1, :]
 
@@ -158,6 +188,49 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                 outs.append(o)
             return jnp.concatenate(outs, axis=0)
 
+        _EPSQ = _EPS * _EPS
+        if elliptic:
+            mut = mut_ref[:]            # (K, 128) whitened cone mu
+            mu_pos = mut > 1e-9
+            c1 = 1.0 + mut * mut
+
+            def csl(x, r):
+                return x[r * K:(r + 1) * K, :]
+
+            def ell_z(jar_d):
+                """3-zone cone state from the contact slice of the dense
+                jar (r-major). Mirrors lm/solver._ell_scaled_lm."""
+                sD = [jnp.sqrt(csl(Dd, r)) for r in range(R)]
+                x = [csl(jar_d, r) * sD[r] for r in range(R)]
+                xn = x[0]
+                tt = x[1] * x[1]
+                for r in range(2, R):
+                    tt = tt + x[r] * x[r]
+                T = jnp.sqrt(jnp.maximum(tt, _EPSQ))
+                w = mut * xn + T
+                bottom = jnp.where(mu_pos, w <= 0, xn < 0)
+                top = (~bottom) & jnp.where(mu_pos, xn >= mut * T, xn >= 0)
+                mid = (~bottom) & (~top)
+                return dict(sD=sD, x=x, xn=xn, tt=tt, T=T, w=w,
+                            bottom=bottom, mid=mid)
+
+            def ell_force(z, jar_d):
+                """(RK, 128) contact force rows (r-major), -grad s."""
+                rows = []
+                for r in range(R):
+                    fq = -csl(Dd, r) * csl(jar_d, r)
+                    if r == 0:
+                        fm = z["sD"][0] * (mut * z["w"] / c1 - z["xn"])
+                    else:
+                        fm = -z["sD"][r] * z["x"][r] * (
+                            1.0 - z["w"] / (c1 * z["T"])
+                        )
+                    rows.append(
+                        jnp.where(z["bottom"], fq,
+                                  jnp.where(z["mid"], fm, 0.0))
+                    )
+                return jnp.concatenate(rows, axis=0)
+
         def forces(jar_fr, jar_lim, jar_d):
             # friction rows: Huber clip
             fq_fr = -D_fr * jar_fr
@@ -167,6 +240,16 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
             fq_l = -D_lim * jar_lim
             f_lim = jnp.where(jar_lim < 0, fq_l, 0.0)
             q_lim = ((jar_lim < 0) & (D_lim > 0)).astype(jnp.float32)
+            if elliptic:
+                # dense rows: 3-zone cone contacts + bilateral equality
+                z = ell_z(jar_d)
+                f_con = ell_force(z, jar_d)
+                if neq:
+                    f_eq = -Dd[RK:ND, :] * jar_d[RK:ND, :]
+                    f_d = jnp.concatenate([f_con, f_eq], axis=0)
+                else:
+                    f_d = f_con
+                return f_fr, f_lim, f_d, q_fr, q_lim, None, z
             # dense rows: contacts one-sided, equality bilateral
             fq_d = -Dd * jar_d
             f_d = jnp.where(jar_d < 0, fq_d, 0.0)
@@ -177,13 +260,32 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                 )
                 f_d = jnp.where(iseq, fq_d, f_d)
                 q_d = jnp.where(iseq & (Dd > 0), 1.0, q_d)
-            return f_fr, f_lim, f_d, q_fr, q_lim, q_d
+            return f_fr, f_lim, f_d, q_fr, q_lim, q_d, None
 
         def cost_rows(jar_fr, jar_lim, jar_d):
             qc_fr = 0.5 * D_fr * jar_fr * jar_fr
             lin = fl_fr * jnp.abs(jar_fr) - 0.5 * fl_fr * fl_fr / jnp.maximum(D_fr, _EPS)
             c_fr = jnp.where(jnp.abs(D_fr * jar_fr) <= fl_fr, qc_fr, lin)
             c_lim = jnp.where(jar_lim < 0, 0.5 * D_lim * jar_lim * jar_lim, 0.0)
+            if elliptic:
+                z = ell_z(jar_d)
+                norm2 = z["xn"] * z["xn"] + z["tt"]
+                s_mid = 0.5 * (norm2 - z["w"] * z["w"] / c1)
+                per = jnp.where(
+                    z["bottom"], 0.5 * norm2,
+                    jnp.where(z["mid"], s_mid, 0.0),
+                )
+                c_d = jnp.sum(per, axis=0, keepdims=True)
+                if neq:
+                    je = jar_d[RK:ND, :]
+                    c_d = c_d + jnp.sum(
+                        0.5 * Dd[RK:ND, :] * je * je, axis=0, keepdims=True
+                    )
+                return (
+                    jnp.sum(c_fr, axis=0, keepdims=True)
+                    + jnp.sum(c_lim, axis=0, keepdims=True)
+                    + c_d
+                )
             qc_d = 0.5 * Dd * jar_d * jar_d
             c_d = jnp.where(jar_d < 0, qc_d, 0.0)
             if neq:
@@ -264,27 +366,86 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
 
         def newton_body(carry):
             it, x, jar_fr, jar_lim, jar_d, cost_x, done = carry
-            f_fr, f_lim, f_d, q_fr, q_lim, q_d = forces(jar_fr, jar_lim, jar_d)
+            f_fr, f_lim, f_d, q_fr, q_lim, q_d, z_h = forces(
+                jar_fr, jar_lim, jar_d
+            )
             grad = Mv(x - a_smooth) - JT_all(f_fr, f_lim, f_d)
             Dq_fr = D_fr * q_fr                       # (nv, 128) diag
             Dq_lim = D_lim * q_lim if nlim else None  # (nlim, 128)
-            Dq_d = Dd * q_d                           # (ND, 128)
-            # H = M + diag(friction) + limit scatter + Jd^T Dq_d Jd
-            for i in range(nv):
-                JDi = J_scr[i] * Dq_d
-                for j in range(i, nv):
-                    h = (
-                        jnp.sum(JDi * J_scr[j], axis=0, keepdims=True)
-                        + Mc_ref[j * nv + i:j * nv + i + 1, :]
-                    )
-                    if j == i:
-                        h = h + Dq_fr[i:i + 1, :]
-                        for li, a in enumerate(lim_dofs):
-                            if a == i:
-                                h = h + Dq_lim[li:li + 1, :]
-                    H_scr[j * nv + i:j * nv + i + 1, :] = h
-                    if j != i:
-                        H_scr[i * nv + j:i * nv + j + 1, :] = h
+            if elliptic:
+                # H = M + diag(fr) + limit scatter + Jc^T B Jc + Jeq^T D Jeq
+                # with B the per-contact (R, R) cone Hessian blocks
+                # (lm/solver._ell_hess_lm), each entry a (K, 128) plane
+                that = [None] + [z_h["x"][r] / z_h["T"] for r in range(1, R)]
+                gradw = [mut] + that[1:]
+                wT = z_h["w"] / z_h["T"]
+                B = [[None] * R for _ in range(R)]
+                for r in range(R):
+                    for s in range(r, R):
+                        tr = that[r] if r >= 1 else 0.0
+                        ts = that[s] if s >= 1 else 0.0
+                        delta = 1.0 if r == s else 0.0
+                        pt = 1.0 if (r == s and r >= 1) else 0.0
+                        bm = delta - (
+                            gradw[r] * gradw[s] + wT * (pt - tr * ts)
+                        ) / c1
+                        bm = z_h["sD"][r] * bm * z_h["sD"][s]
+                        bbot = csl(Dd, r) if r == s else 0.0
+                        val = jnp.where(
+                            z_h["bottom"], bbot,
+                            jnp.where(z_h["mid"], bm, 0.0),
+                        )
+                        B[r][s] = val
+                        B[s][r] = val
+                Dq_eq = Dd[RK:ND, :] if neq else None
+                for j in range(nv):
+                    Jj = [J_scr[j, r * K:(r + 1) * K, :] for r in range(R)]
+                    BJ = []
+                    for r in range(R):
+                        acc = B[r][0] * Jj[0]
+                        for s in range(1, R):
+                            acc = acc + B[r][s] * Jj[s]
+                        BJ.append(acc)
+                    for i in range(j + 1):
+                        acc = J_scr[i, 0:K, :] * BJ[0]
+                        for r in range(1, R):
+                            acc = acc + J_scr[i, r * K:(r + 1) * K, :] * BJ[r]
+                        h = (
+                            jnp.sum(acc, axis=0, keepdims=True)
+                            + Mc_ref[j * nv + i:j * nv + i + 1, :]
+                        )
+                        if neq:
+                            h = h + jnp.sum(
+                                J_scr[i, RK:ND, :] * Dq_eq
+                                * J_scr[j, RK:ND, :],
+                                axis=0, keepdims=True,
+                            )
+                        if j == i:
+                            h = h + Dq_fr[i:i + 1, :]
+                            for li, a in enumerate(lim_dofs):
+                                if a == i:
+                                    h = h + Dq_lim[li:li + 1, :]
+                        H_scr[j * nv + i:j * nv + i + 1, :] = h
+                        if j != i:
+                            H_scr[i * nv + j:i * nv + j + 1, :] = h
+            else:
+                Dq_d = Dd * q_d                       # (ND, 128)
+                # H = M + diag(friction) + limit scatter + Jd^T Dq_d Jd
+                for i in range(nv):
+                    JDi = J_scr[i] * Dq_d
+                    for j in range(i, nv):
+                        h = (
+                            jnp.sum(JDi * J_scr[j], axis=0, keepdims=True)
+                            + Mc_ref[j * nv + i:j * nv + i + 1, :]
+                        )
+                        if j == i:
+                            h = h + Dq_fr[i:i + 1, :]
+                            for li, a in enumerate(lim_dofs):
+                                if a == i:
+                                    h = h + Dq_lim[li:li + 1, :]
+                        H_scr[j * nv + i:j * nv + i + 1, :] = h
+                        if j != i:
+                            H_scr[i * nv + j:i * nv + j + 1, :] = h
             dx = -chol_solve(H_scr, grad)
 
             v_fr = dx
@@ -297,7 +458,7 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                 jf = jar_fr + a * v_fr
                 jl = jar_lim + a * v_lim
                 jd2 = jar_d + a * v_d
-                ff, fll, fd, qf, ql, qd = forces(jf, jl, jd2)
+                ff, fll, fd, qf, ql, qd, za = forces(jf, jl, jd2)
                 d1 = q1 + a * q2 - (
                     jnp.sum(v_fr * ff, axis=0, keepdims=True)
                     + jnp.sum(v_lim * fll, axis=0, keepdims=True)
@@ -306,8 +467,37 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                 d2 = q2 + (
                     jnp.sum(D_fr * qf * v_fr * v_fr, axis=0, keepdims=True)
                     + jnp.sum(D_lim * ql * v_lim * v_lim, axis=0, keepdims=True)
-                    + jnp.sum(Dd * qd * v_d * v_d, axis=0, keepdims=True)
                 )
+                if elliptic:
+                    # cone curvature (lm/solver._ell_curv_lm)
+                    vt = [csl(v_d, r) * za["sD"][r] for r in range(R)]
+                    quad = vt[0] * vt[0]
+                    vtt2 = vt[1] * vt[1]
+                    for r in range(2, R):
+                        vtt2 = vtt2 + vt[r] * vt[r]
+                    quad = quad + vtt2
+                    tv = (za["x"][1] / za["T"]) * vt[1]
+                    for r in range(2, R):
+                        tv = tv + (za["x"][r] / za["T"]) * vt[r]
+                    gw = mut * vt[0] + tv
+                    wTa = za["w"] / za["T"]
+                    mid_term = quad - (
+                        gw * gw + wTa * (vtt2 - tv * tv)
+                    ) / c1
+                    per = jnp.where(
+                        za["bottom"], quad,
+                        jnp.where(za["mid"], jnp.maximum(mid_term, 0.0), 0.0),
+                    )
+                    d2 = d2 + jnp.sum(per, axis=0, keepdims=True)
+                    if neq:
+                        ve = v_d[RK:ND, :]
+                        d2 = d2 + jnp.sum(
+                            Dd[RK:ND, :] * ve * ve, axis=0, keepdims=True
+                        )
+                else:
+                    d2 = d2 + jnp.sum(
+                        Dd * qd * v_d * v_d, axis=0, keepdims=True
+                    )
                 return d1, d2
 
             hi = jnp.ones_like(q1)
@@ -352,7 +542,7 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
             carry,
         )
 
-        f_fr, f_lim, f_d, _, _, _ = forces(jar_fr, jar_lim, jar_d)
+        f_fr, f_lim, f_d, _, _, _, _ = forces(jar_fr, jar_lim, jar_d)
         x_out[:] = x
         # canonical non-contact force rows: [eq, friction, limits]
         if neq:
@@ -376,16 +566,17 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
     jax.jit,
     static_argnames=(
         "nv", "K", "R", "ndirs", "neq", "nlim", "lim_dofs",
-        "iterations", "ls_iterations", "tolerance", "do_int", "interpret",
+        "iterations", "ls_iterations", "tolerance", "do_int", "cone",
+        "interpret",
     ),
 )
 def newton_assemble_solve(
     Mc, qfrc_smooth, x_ws, qvel, Mh,
     Dnc, arefnc, flnc, side, Jeq,
-    cdof, pos_k, O1, O2, frame_k, mu_dirs, Dc, bb, kimp, on_rm,
+    cdof, pos_k, O1, O2, frame_k, mu_dirs, mut, Dc, bb, kimp, on_rm,
     W1, W2,
     *, nv, K, R, ndirs, neq, nlim, lim_dofs,
-    iterations, ls_iterations, tolerance, do_int, interpret=False,
+    iterations, ls_iterations, tolerance, do_int, cone=0, interpret=False,
 ):
     """Fused assembly+solve. All inputs env-LAST f32, E % 128 == 0:
 
@@ -394,8 +585,16 @@ def newton_assemble_solve(
     do_int=False); Dnc/arefnc/flnc (neq+nv+nlim, E) non-contact rows
     (canonical order); side (nlim, E); Jeq (neq*nv, E); cdof (nv*6, E);
     pos_k/O1/O2 (3*K, E) component-major; frame_k (9*K, E) row-major
-    [n, t1, t2]; mu_dirs (ndirs*K, E); Dc/bb/kimp (K, E);
-    on_rm (R*K, E) r-major row activity; W1/W2 (nv*K, E) dof-major.
+    [n, t1, t2]; mu_dirs (ndirs*K, E) — pyramid friction coefficients per
+    direction (cone=0) or the friction-row D values Dn*impratio*ratio^2
+    (cone=1, dir-major); mut (K, E) whitened cone mu (cone=1; dummy row
+    otherwise); Dc/bb/kimp (K, E); on_rm (R*K, E) r-major row activity;
+    W1/W2 (nv*K, E) dof-major.
+
+    cone=1 solves the elliptic friction cone: contact rows are the raw
+    frame rows [n, t1, t2, torsion, roll1, roll2][:R] with the 3-zone
+    cone cost/force/Hessian of lm/solver (reference manipulation cfg runs
+    cone="elliptic", /root/reference/src/mjlab/sim/sim.py:139-149).
 
     Returns (x (nv,E), f_noncon (neq+nv+nlim, E), f_con_rmajor (R*K, E),
     qfrc_constraint (nv, E), a_smooth (nv, E), qacc_int (nv, E))."""
@@ -407,7 +606,7 @@ def newton_assemble_solve(
 
     kernel = _make_kernel(
         nv, K, R, ndirs, neq, nlim, lim_dofs,
-        iterations, ls_iterations, tolerance, do_int,
+        iterations, ls_iterations, tolerance, do_int, cone,
     )
 
     def bs(rows):
@@ -431,7 +630,8 @@ def newton_assemble_solve(
             bs(nz(NC, E)), bs(nz(NC, E)), bs(nz(NC, E)),
             bs(nz(nlim, E)), bs(nz(neq * nv, E)),
             bs(nv * 6), bs(3 * K), bs(3 * K), bs(3 * K), bs(9 * K),
-            bs(nz(ndirs * K, E)), bs(K), bs(K), bs(K), bs(RK),
+            bs(nz(ndirs * K, E)), bs(K if cone else 1),
+            bs(K), bs(K), bs(K), bs(RK),
             bs(nv * K), bs(nv * K),
         ],
         out_specs=[bs(nv), bs(nz(NC, E)), bs(RK), bs(nv), bs(nv), bs(nv)],
@@ -457,7 +657,8 @@ def newton_assemble_solve(
         pad(Dnc, NC), pad(arefnc, NC), pad(flnc, NC),
         pad(side, nlim), pad(Jeq, neq),
         cdof, pos_k, O1, O2, frame_k,
-        pad(mu_dirs, ndirs), Dc, bb, kimp, on_rm,
+        pad(mu_dirs, ndirs), pad(mut, 1 if cone else 0),
+        Dc, bb, kimp, on_rm,
         W1, W2,
     )
     x, fnc, fcon, qfrc, a_smooth, qacc_int = out
