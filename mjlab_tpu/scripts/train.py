@@ -21,17 +21,87 @@ from dataclasses import fields, is_dataclass
 import numpy as np
 
 
-def _parse_override_value(cur, value: str):
+def _variant_candidates(tgt, leaf, cur):
+    """Dataclass types selectable for field `leaf` of `tgt`: the declared
+    union members (typing annotation) plus all their subclasses, plus the
+    current value's own class hierarchy — the pool the ClassName(...)
+    override syntax resolves against (tyro's union-of-dataclass
+    subcommand surface, reference scripts/train.py:240-245)."""
+    import dataclasses
+    import typing
+
+    def subs(t):
+        out = [t]
+        for s in getattr(t, "__subclasses__", lambda: [])():
+            out.extend(subs(s))
+        return out
+
+    cands = []
+    if dataclasses.is_dataclass(tgt):
+        try:
+            hints = typing.get_type_hints(type(tgt))
+            ann = hints.get(leaf)
+        except Exception:  # noqa: BLE001
+            ann = None
+        if ann is not None:
+            for t in typing.get_args(ann) or (ann,):
+                if dataclasses.is_dataclass(t):
+                    cands.extend(subs(t))
+    if cur is not None and dataclasses.is_dataclass(type(cur)):
+        for base in type(cur).__mro__:
+            if dataclasses.is_dataclass(base):
+                cands.extend(subs(base))
+    # dedupe, keep order
+    seen, out = set(), []
+    for t in cands:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def _parse_variant(value: str, candidates):
+    """Parse 'ClassName(a=1, b=(2, 3))' into an instance of the matching
+    candidate dataclass; returns None when value is not that shape."""
+    import ast
+
+    try:
+        tree = ast.parse(value.strip(), mode="eval")
+    except SyntaxError:
+        return None
+    call = tree.body
+    if not (isinstance(call, ast.Call) and isinstance(call.func, ast.Name)
+            and not call.args):
+        return None
+    name = call.func.id
+    cls = next((t for t in candidates if t.__name__ == name), None)
+    if cls is None:
+        raise ValueError(
+            f"unknown cfg variant '{name}'; choices: "
+            f"{sorted({t.__name__ for t in candidates})}"
+        )
+    kwargs = {
+        kw.arg: ast.literal_eval(kw.value) for kw in call.keywords
+    }
+    return cls(**kwargs)
+
+
+def _parse_override_value(cur, value: str, candidates=()):
     """Parse a CLI override string against the current field value.
 
     Covers the nested-cfg value kinds the reference's tyro surface
     handles (reference scripts/train.py:224-248): scalars, booleans,
     enums (by NAME or value), tuples/lists (python literal syntax or
-    bare comma-separated), and Optional[...] fields (current value None:
-    literal-parsed, 'none' -> None)."""
+    bare comma-separated), Optional[...] fields (current value None:
+    literal-parsed, 'none' -> None), and union-of-dataclass variant
+    selection via 'ClassName(field=value, ...)'."""
     import ast
     import enum as _enum
 
+    if candidates and "(" in value:
+        v = _parse_variant(value, candidates)
+        if v is not None:
+            return v
     if isinstance(cur, _enum.Enum):
         ecls = type(cur)
         try:
@@ -82,10 +152,12 @@ def _apply_overrides(obj, overrides: list[str]):
                 raise AttributeError(
                     f"override path '{path}': no key '{leaf}'"
                 )
-            tgt[leaf] = _parse_override_value(tgt[leaf], value)
+            cands = _variant_candidates(tgt, leaf, tgt[leaf])
+            tgt[leaf] = _parse_override_value(tgt[leaf], value, cands)
         else:
             cur = getattr(tgt, leaf)  # AttributeError on bad paths
-            setattr(tgt, leaf, _parse_override_value(cur, value))
+            cands = _variant_candidates(tgt, leaf, cur)
+            setattr(tgt, leaf, _parse_override_value(cur, value, cands))
 
 
 def run_train(
@@ -198,6 +270,58 @@ def run_train(
     return runner
 
 
+def enumerate_cfg_fields(obj, prefix="", depth=0, max_depth=6):
+    """Yield (dotted-flag, type-name, default-repr) rows for every nested
+    cfg field — the tyro-style auto-generated per-field help surface
+    (reference scripts/train.py:236-248 `train TASK --help`)."""
+    import dataclasses
+
+    if depth > max_depth:
+        return
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        items = [
+            (f.name, getattr(obj, f.name, None))
+            for f in dataclasses.fields(obj)
+        ]
+    elif isinstance(obj, dict):
+        items = list(obj.items())
+    else:
+        return
+    for name, val in items:
+        path = f"{prefix}.{name}" if prefix else name
+        import dataclasses as _dc
+
+        if (_dc.is_dataclass(val) and not isinstance(val, type)) or (
+            isinstance(val, dict)
+            and val
+            and any(_dc.is_dataclass(v) for v in val.values())
+        ):
+            yield (path, type(val).__name__, None)
+            yield from enumerate_cfg_fields(val, path, depth + 1, max_depth)
+        else:
+            rep = repr(val)
+            if len(rep) > 48:
+                rep = rep[:45] + "..."
+            yield (path, type(val).__name__, rep)
+
+
+def _print_cfg_help(task: str):
+    from mjlab_tpu.tasks.registry import load_env_cfg, load_rl_cfg
+
+    print(f"\nConfig overrides for {task} "
+          "(--env.PATH VALUE / --agent.PATH VALUE):")
+    for root, cfg in (
+        ("env", load_env_cfg(task)), ("agent", load_rl_cfg(task)),
+    ):
+        print(f"\n[{root}]")
+        for path, tname, default in enumerate_cfg_fields(cfg):
+            flag = f"--{root}.{path.replace('_', '-')}"
+            if default is None and tname not in ("NoneType",):
+                print(f"  {flag}  ({tname})")
+            else:
+                print(f"  {flag}  ({tname}) = {default}")
+
+
 def main():
     parser = argparse.ArgumentParser(description="Train an mjlab_tpu task")
     parser.add_argument("task")
@@ -231,6 +355,15 @@ def main():
     parser.add_argument(
         "--agent", action="append", default=[], help="agent cfg override key=value"
     )
+    # `train TASK --help` additionally enumerates every nested cfg field
+    # (the tyro-generated per-field help of the reference CLI)
+    import sys as _sys
+
+    argv = _sys.argv[1:]
+    if ("-h" in argv or "--help" in argv) and argv and not argv[0].startswith("-"):
+        parser.print_help()
+        _print_cfg_help(argv[0])
+        raise SystemExit(0)
     args, unknown = parser.parse_known_args()
     # tyro-style dotted overrides (reference CLI surface,
     # reference scripts/train.py:236-245): --env.scene.num-envs 4096 or

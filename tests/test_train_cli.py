@@ -105,3 +105,45 @@ def test_override_bad_path_raises():
         T._apply_overrides(cfg, ["scene.does-not-exist=1"])
     with pytest.raises((AttributeError, KeyError)):
         T._apply_overrides(cfg, ["observations.nope.enable-corruption=false"])
+
+
+def test_variant_dataclass_override():
+    """Union-of-dataclass selection via ClassName(...) values — tyro's
+    subcommand surface (reference scripts/train.py:240-245)."""
+    from mjlab_tpu.utils.noise import GaussianNoiseCfg, UniformNoiseCfg
+
+    cfg = tasks.load_env_cfg("Mjlab-Velocity-Flat-Unitree-G1")
+    obs = cfg.observations["policy"].terms["base_ang_vel"]
+    assert isinstance(obs.noise, UniformNoiseCfg)
+    T._apply_overrides(
+        cfg,
+        ['observations.policy.terms.base_ang_vel.noise='
+         'GaussianNoiseCfg(mean=0.0, std=0.3)'],
+    )
+    obs2 = cfg.observations["policy"].terms["base_ang_vel"]
+    assert isinstance(obs2.noise, GaussianNoiseCfg)
+    assert obs2.noise.std == 0.3
+
+    # unknown variant name -> actionable error
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown cfg variant"):
+        T._apply_overrides(
+            cfg,
+            ["observations.policy.terms.base_ang_vel.noise=NopeCfg(std=1.0)"],
+        )
+
+
+def test_help_enumerates_nested_fields(capsys, monkeypatch):
+    monkeypatch.setattr(
+        sys, "argv", ["train", "Mjlab-Velocity-Flat-Unitree-G1", "--help"]
+    )
+    try:
+        T.main()
+    except SystemExit as e:
+        assert e.code == 0
+    out = capsys.readouterr().out
+    assert "--env.scene.num-envs" in out
+    assert "--agent.algorithm.gamma" in out.replace("_", "-") or \
+        "--agent.algorithm" in out
+    assert out.count("--env.") > 100  # real per-field enumeration
