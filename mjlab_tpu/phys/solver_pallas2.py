@@ -129,12 +129,25 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
         for e in range(neq):
             Dd_scr[RK + e:RK + e + 1, :] = Dnc_ref[e:e + 1, :]
 
+        # row-chunked contractions over the dense block: one (nv, CH, 128)
+        # product temporary at a time instead of the full (nv, ND, 128)
+        # (scoped-VMEM peak: J_scr alone is 2.6 MB on G1; the unchunked
+        # form OOMed the 16M scoped limit on real TPU)
+        CH = 48
+
+        def _chunks(n):
+            return [(c, min(c + CH, n)) for c in range(0, n, CH)]
+
         # contact aref = -bb * (J qvel) [- kimp on the position rows:
         # all R pyramid rows, only the normal row for elliptic]
         qv = qvel_ref[:]  # (nv, 128)
-        velc = J_scr[0, 0:RK, :] * qv[0:1, :]
-        for i in range(1, nv):
-            velc += J_scr[i, 0:RK, :] * qv[i:i + 1, :]
+        velc = jnp.concatenate(
+            [
+                jnp.sum(J_scr[:, ca:cb, :] * qv[:, None, :], axis=0)
+                for ca, cb in _chunks(RK)
+            ],
+            axis=0,
+        )
         bb = bb_ref[:]
         kimp = kimp_ref[:]
         for r in range(R):
@@ -156,6 +169,13 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
         Dd = Dd_scr[:]      # (ND, 128)
         arefd = arefd_scr[:]
 
+        # limit rows nearly always cover a contiguous dof range (every
+        # actuated hinge/slide): slice instead of per-row gather/scatter
+        lim_contig = nlim > 0 and lim_dofs == tuple(
+            range(lim_dofs[0], lim_dofs[0] + nlim)
+        )
+        lim_lo = lim_dofs[0] if nlim else 0
+
         def Mv(vec):
             acc = Mc_ref[0:nv, :] * vec[0:1, :]
             for j in range(1, nv):
@@ -163,30 +183,49 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
             return acc
 
         def Jd_mul(vec):  # dense rows: (nv,128) -> (ND,128)
-            acc = J_scr[0] * vec[0:1, :]
-            for i in range(1, nv):
-                acc += J_scr[i] * vec[i:i + 1, :]
-            return acc
+            return jnp.concatenate(
+                [
+                    jnp.sum(J_scr[:, ca:cb, :] * vec[:, None, :], axis=0)
+                    for ca, cb in _chunks(ND)
+                ],
+                axis=0,
+            )
 
         def lim_mul(vec):  # (nv,128) -> (nlim,128)
             if nlim == 0:
                 return jnp.zeros((0, LANES), jnp.float32)
+            if lim_contig:
+                return side * vec[lim_lo:lim_lo + nlim, :]
             return side * jnp.concatenate(
                 [vec[a:a + 1, :] for a in lim_dofs], axis=0
             )
 
+        def lim_scatter(f_lim):  # (nlim,128) -> (nv,128) at lim_dofs
+            sf = side * f_lim
+            if lim_contig:
+                pads = []
+                if lim_lo:
+                    pads.append(jnp.zeros((lim_lo, LANES), jnp.float32))
+                pads.append(sf)
+                tail = nv - lim_lo - nlim
+                if tail:
+                    pads.append(jnp.zeros((tail, LANES), jnp.float32))
+                return jnp.concatenate(pads, axis=0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (nv, LANES), 0)
+            out = jnp.zeros((nv, LANES), jnp.float32)
+            for li, a in enumerate(lim_dofs):
+                out = jnp.where(rows == a, out + sf[li:li + 1, :], out)
+            return out
+
         def JT_all(f_fr, f_lim, f_d):  # -> (nv,128)
-            outs = []
-            sf = side * f_lim if nlim else None
-            for i in range(nv):
-                o = f_fr[i:i + 1, :] + jnp.sum(
-                    J_scr[i] * f_d, axis=0, keepdims=True
+            out = f_fr
+            for ca, cb in _chunks(ND):
+                out = out + jnp.sum(
+                    J_scr[:, ca:cb, :] * f_d[None, ca:cb, :], axis=1
                 )
-                for li, a in enumerate(lim_dofs):
-                    if a == i:
-                        o = o + sf[li:li + 1, :]
-                outs.append(o)
-            return jnp.concatenate(outs, axis=0)
+            if nlim:
+                out = out + lim_scatter(f_lim)
+            return out
 
         _EPSQ = _EPS * _EPS
         if elliptic:
@@ -307,49 +346,68 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
             smooth = 0.5 * jnp.sum(dx * Mv(dx), axis=0, keepdims=True)
             return smooth + cost_rows(*jars)
 
-        def chol_solve(src, g):
-            """Solve (src) x = g, src an SPD matrix ref in column-major
-            (nv*nv, 128) layout. Jacobi-equilibrated unrolled Cholesky;
-            the factor lives in L_scr (sequential uses may overwrite)."""
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (nv, LANES), 0)
+
+        def chol_solve(col, g):
+            """Solve A x = g with A SPD given by `col(j)` -> full column j
+            as an (nv, 128) tile. Jacobi-equilibrated Cholesky; columns of
+            the factor (zeros above the diagonal) live in the 3D L_scr, so
+            every factor/substitution step is a full-column vector op
+            instead of (1, 128) scalar planes."""
+            cols = [col(j) for j in range(nv)]
             diag = jnp.concatenate(
-                [src[j * nv + j:j * nv + j + 1, :] for j in range(nv)],
-                axis=0,
+                [cols[j][j:j + 1, :] for j in range(nv)], axis=0
             )
             scale = jax.lax.rsqrt(jnp.maximum(diag, _EPS))
             g = g * scale
             ridge = 1e-6
             for j in range(nv):
-                s = src[j * nv + j:(j + 1) * nv, :] * (
-                    scale[j:, :] * scale[j:j + 1, :]
-                )
-                row0 = (
-                    jax.lax.broadcasted_iota(jnp.int32, (nv - j, LANES), 0) == 0
-                )
-                s = s + jnp.where(row0, ridge, 0.0)
-                for kk2 in range(j):
-                    s = s - (
-                        L_scr[kk2 * nv + j:(kk2 + 1) * nv, :]
-                        * L_scr[kk2 * nv + j:kk2 * nv + j + 1, :]
+                s = cols[j] * (scale * scale[j:j + 1, :])
+                s = s + jnp.where(rows_iota == j, ridge, 0.0)
+                if j:
+                    s = s - jnp.sum(
+                        L_scr[0:j, :, :] * L_scr[0:j, j:j + 1, :], axis=0
                     )
-                dcol = jnp.sqrt(jnp.maximum(s[0:1, :], ridge))
-                L_scr[j * nv + j:(j + 1) * nv, :] = s / dcol
-            y = [None] * nv
+                dcol = jnp.sqrt(jnp.maximum(s[j:j + 1, :], ridge))
+                L_scr[j, :, :] = jnp.where(rows_iota >= j, s / dcol, 0.0)
+            # forward: y = L^-1 g, column-oriented residual updates
+            r = g
+            ys = [None] * nv
             for j in range(nv):
-                s = g[j:j + 1, :]
-                for kk2 in range(j):
-                    s = s - L_scr[kk2 * nv + j:kk2 * nv + j + 1, :] * y[kk2]
-                y[j] = s / L_scr[j * nv + j:j * nv + j + 1, :]
-            outx = [None] * nv
-            for j in reversed(range(nv)):
-                s = y[j]
-                for kk2 in range(j + 1, nv):
-                    s = s - L_scr[j * nv + kk2:j * nv + kk2 + 1, :] * outx[kk2]
-                outx[j] = s / L_scr[j * nv + j:j * nv + j + 1, :]
-            return jnp.concatenate(outx, axis=0) * scale
+                yj = r[j:j + 1, :] / L_scr[j, j:j + 1, :]
+                r = r - L_scr[j, :, :] * yj
+                ys[j] = yj
+            # backward: x = L^-T y via the inner-product form using only
+            # COLUMN reads (row reads of a 3D ref lower to an unsupported
+            # strided gather on TPU): column k is zero above the diagonal
+            # and xacc is zero at rows <= k, so sum(col_k * xacc) is
+            # exactly sum_{k'>k} L[k',k] x[k'].
+            # backward: x = L^-T y via the inner-product form using only
+            # COLUMN reads (row reads of a 3D ref lower to an unsupported
+            # strided gather on TPU): column k is zero above the diagonal
+            # and xacc is zero at rows <= k, so sum(col_k * xacc) is
+            # exactly sum_{k'>k} L[k',k] x[k'].
+            y = jnp.concatenate(ys, axis=0)
+            xacc = jnp.zeros((nv, LANES), jnp.float32)
+            for k in reversed(range(nv)):
+                colk = L_scr[k, :, :]
+                s = jnp.sum(colk * xacc, axis=0, keepdims=True)
+                xk = (y[k:k + 1, :] - s) / L_scr[k, k:k + 1, :]
+                xacc = jnp.where(rows_iota == k, xk, xacc)
+            return xacc * scale
+
+        def mc_col(j):
+            return Mc_ref[j * nv:(j + 1) * nv, :]
+
+        def h_col(j):
+            return H_scr[j, :, :]
+
+        def mh_col(j):
+            return Mh_ref[j * nv:(j + 1) * nv, :]
 
         # unconstrained acceleration: M a_smooth = qfrc_smooth (the XLA
         # path's smooth.solve_m — folded in so crb can skip qLD/qLDinv)
-        a_smooth = chol_solve(Mc_ref, qfs_ref[:])
+        a_smooth = chol_solve(mc_col, qfs_ref[:])
         asm_out[:] = a_smooth
 
         x_ws = ws_ref[:]
@@ -372,6 +430,25 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
             grad = Mv(x - a_smooth) - JT_all(f_fr, f_lim, f_d)
             Dq_fr = D_fr * q_fr                       # (nv, 128) diag
             Dq_lim = D_lim * q_lim if nlim else None  # (nlim, 128)
+            # H diagonal additions (friction + limit rows; Dq_lim is
+            # pre-zeroed on inactive rows so no side sign is needed)
+            diagv = Dq_fr
+            if nlim:
+                if lim_contig:
+                    parts = []
+                    if lim_lo:
+                        parts.append(jnp.zeros((lim_lo, LANES), jnp.float32))
+                    parts.append(Dq_lim)
+                    tail = nv - lim_lo - nlim
+                    if tail:
+                        parts.append(jnp.zeros((tail, LANES), jnp.float32))
+                    diagv = diagv + jnp.concatenate(parts, axis=0)
+                else:
+                    for li, a in enumerate(lim_dofs):
+                        diagv = jnp.where(
+                            rows_iota == a, diagv + Dq_lim[li:li + 1, :],
+                            diagv,
+                        )
             if elliptic:
                 # H = M + diag(fr) + limit scatter + Jc^T B Jc + Jeq^T D Jeq
                 # with B the per-contact (R, R) cone Hessian blocks
@@ -406,47 +483,38 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                         for s in range(1, R):
                             acc = acc + B[r][s] * Jj[s]
                         BJ.append(acc)
-                    for i in range(j + 1):
-                        acc = J_scr[i, 0:K, :] * BJ[0]
-                        for r in range(1, R):
-                            acc = acc + J_scr[i, r * K:(r + 1) * K, :] * BJ[r]
-                        h = (
-                            jnp.sum(acc, axis=0, keepdims=True)
-                            + Mc_ref[j * nv + i:j * nv + i + 1, :]
+                    # column j over all i at once: (nv, K, 128) reductions
+                    colH = jnp.sum(
+                        J_scr[:, 0:K, :] * BJ[0][None, :, :], axis=1
+                    )
+                    for r in range(1, R):
+                        colH = colH + jnp.sum(
+                            J_scr[:, r * K:(r + 1) * K, :]
+                            * BJ[r][None, :, :],
+                            axis=1,
                         )
-                        if neq:
-                            h = h + jnp.sum(
-                                J_scr[i, RK:ND, :] * Dq_eq
-                                * J_scr[j, RK:ND, :],
-                                axis=0, keepdims=True,
-                            )
-                        if j == i:
-                            h = h + Dq_fr[i:i + 1, :]
-                            for li, a in enumerate(lim_dofs):
-                                if a == i:
-                                    h = h + Dq_lim[li:li + 1, :]
-                        H_scr[j * nv + i:j * nv + i + 1, :] = h
-                        if j != i:
-                            H_scr[i * nv + j:i * nv + j + 1, :] = h
+                    if neq:
+                        colH = colH + jnp.sum(
+                            J_scr[:, RK:ND, :]
+                            * (Dq_eq * J_scr[j, RK:ND, :])[None, :, :],
+                            axis=1,
+                        )
+                    colH = colH + mc_col(j)
+                    colH = colH + jnp.where(rows_iota == j, diagv, 0.0)
+                    H_scr[j, :, :] = colH
             else:
                 Dq_d = Dd * q_d                       # (ND, 128)
-                # H = M + diag(friction) + limit scatter + Jd^T Dq_d Jd
-                for i in range(nv):
-                    JDi = J_scr[i] * Dq_d
-                    for j in range(i, nv):
-                        h = (
-                            jnp.sum(JDi * J_scr[j], axis=0, keepdims=True)
-                            + Mc_ref[j * nv + i:j * nv + i + 1, :]
+                # H = M + diag(fr/limits) + Jd^T Dq_d Jd, built a full
+                # column at a time with row-chunked reductions
+                for j in range(nv):
+                    JDj = J_scr[j] * Dq_d
+                    colH = mc_col(j) + jnp.where(rows_iota == j, diagv, 0.0)
+                    for ca, cb in _chunks(ND):
+                        colH = colH + jnp.sum(
+                            J_scr[:, ca:cb, :] * JDj[None, ca:cb, :], axis=1
                         )
-                        if j == i:
-                            h = h + Dq_fr[i:i + 1, :]
-                            for li, a in enumerate(lim_dofs):
-                                if a == i:
-                                    h = h + Dq_lim[li:li + 1, :]
-                        H_scr[j * nv + i:j * nv + i + 1, :] = h
-                        if j != i:
-                            H_scr[i * nv + j:i * nv + j + 1, :] = h
-            dx = -chol_solve(H_scr, grad)
+                    H_scr[j, :, :] = colH
+            dx = -chol_solve(h_col, grad)
 
             v_fr = dx
             v_lim = lim_mul(dx)
@@ -454,7 +522,7 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
             q1 = jnp.sum(dx * Mv(x - a_smooth), axis=0, keepdims=True)
             q2 = jnp.sum(dx * Mv(dx), axis=0, keepdims=True)
 
-            def dphi(a):
+            def dphi(a, need_h=True):
                 jf = jar_fr + a * v_fr
                 jl = jar_lim + a * v_lim
                 jd2 = jar_d + a * v_d
@@ -464,6 +532,8 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                     + jnp.sum(v_lim * fll, axis=0, keepdims=True)
                     + jnp.sum(v_d * fd, axis=0, keepdims=True)
                 )
+                if not need_h:  # bracketing probes use the slope only
+                    return d1, None
                 d2 = q2 + (
                     jnp.sum(D_fr * qf * v_fr * v_fr, axis=0, keepdims=True)
                     + jnp.sum(D_lim * ql * v_lim * v_lim, axis=0, keepdims=True)
@@ -502,7 +572,7 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
 
             hi = jnp.ones_like(q1)
             for _ in range(12):
-                g_hi, _ = dphi(hi)
+                g_hi, _ = dphi(hi, need_h=False)
                 hi = jnp.where(g_hi < 0, hi * 2.0, hi)
             lo = jnp.zeros_like(q1)
             a = jnp.minimum(hi, 1.0)
@@ -555,7 +625,7 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
         # integrator implicit velocity update: Mh a' = M a (folded in so
         # integrate() skips its own XLA dense factorization)
         if do_int:
-            qint_out[:] = chol_solve(Mh_ref, Mv(x))
+            qint_out[:] = chol_solve(mh_col, Mv(x))
         else:
             qint_out[:] = x
 
@@ -645,8 +715,8 @@ def newton_assemble_solve(
         ],
         scratch_shapes=[
             pltpu.VMEM((nv, RK + neq, LANES), jnp.float32),
-            pltpu.VMEM((nv * nv, LANES), jnp.float32),
-            pltpu.VMEM((nv * nv, LANES), jnp.float32),
+            pltpu.VMEM((nv, nv, LANES), jnp.float32),
+            pltpu.VMEM((nv, nv, LANES), jnp.float32),
             pltpu.VMEM((RK + neq, LANES), jnp.float32),
             pltpu.VMEM((RK + neq, LANES), jnp.float32),
         ],
