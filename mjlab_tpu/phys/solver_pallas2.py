@@ -55,10 +55,16 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                cdof_ref, posk_ref, O1_ref, O2_ref, frame_ref, mu_ref,
                mut_ref, Dc_ref, bb_ref, kimp_ref, on_ref, W1_ref, W2_ref,
                x_out, fnc_out, fcon_out, qfrc_out, asm_out, qint_out,
-               J_scr, H_scr, L_scr, Dd_scr, arefd_scr):
-        # ---------- phase A: rebuild dense rows in VMEM ----------
-        # contact rows r-major: J_scr[i, r*K:(r+1)*K, :], then neq eq rows
+               H_scr):
+        # ---------- phase A: rebuild dense rows as VALUES ----------
+        # contact rows r-major: Jv[i][r*K:(r+1)*K], then neq eq rows.
+        # The dense block lives as compiler-managed VALUES (Jv list and
+        # the stacked Jall), NOT a scratch ref: every consumer then uses
+        # value slicing/reduction, which Mosaic lowers as plain vector
+        # ops — strided 3D-ref reads (J_scr[:, a:b, :] row chunks,
+        # middle-slice row reads) lower to an unsupported gather.
         on = on_ref[:]                     # (RK, 128) activity mask
+        Jv = [None] * nv
         for i in range(nv):
             w1 = W1_ref[i * K:(i + 1) * K, :]  # (K, 128)
             w2 = W2_ref[i * K:(i + 1) * K, :]
@@ -98,66 +104,57 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                         acc += frame_ref[(f * 3 + 1) * K:(f * 3 + 2) * K, :] * ja[1]
                         acc += frame_ref[(f * 3 + 2) * K:(f * 3 + 3) * K, :] * ja[2]
                         rows.append(acc)
-                for r in range(R):
-                    J_scr[i, r * K:(r + 1) * K, :] = (
-                        on[r * K:(r + 1) * K, :] * rows[r]
-                    )
+                pieces = [
+                    on[r * K:(r + 1) * K, :] * rows[r] for r in range(R)
+                ]
             else:
+                pieces = [None] * R
                 for j in range(ndirs):
                     mu_j = mu_ref[j * K:(j + 1) * K, :]
                     rp = 2 * j
                     rm = 2 * j + 1
-                    J_scr[i, rp * K:(rp + 1) * K, :] = (
+                    pieces[rp] = (
                         on[rp * K:(rp + 1) * K, :] * (f3[0] + mu_j * f3[1 + j])
                     )
-                    J_scr[i, rm * K:(rm + 1) * K, :] = (
+                    pieces[rm] = (
                         on[rm * K:(rm + 1) * K, :] * (f3[0] - mu_j * f3[1 + j])
                     )
             for e in range(neq):
-                J_scr[i, RK + e:RK + e + 1, :] = Jeq_ref[e * nv + i:e * nv + i + 1, :]
+                pieces.append(Jeq_ref[e * nv + i:e * nv + i + 1, :])
+            Jv[i] = jnp.concatenate(pieces, axis=0)  # (ND, 128)
+        Jall = jnp.stack(Jv, axis=0)  # (nv, ND, 128) value
 
         # dense-row D: pyramidal contacts share the slot Dc; elliptic
         # friction rows carry Dn*impratio*(mu_i/mu_0)^2 (mu_ref = Dfri);
         # equality uses Dnc[0:neq]
         Dc = Dc_ref[:]  # (K, 128), inactive slots pre-zeroed
+        dparts = []
         for r in range(R):
             if elliptic and r > 0:
                 Dr = mu_ref[(r - 1) * K:r * K, :]
             else:
                 Dr = Dc
-            Dd_scr[r * K:(r + 1) * K, :] = on[r * K:(r + 1) * K, :] * Dr
-        for e in range(neq):
-            Dd_scr[RK + e:RK + e + 1, :] = Dnc_ref[e:e + 1, :]
-
-        # row-chunked contractions over the dense block: one (nv, CH, 128)
-        # product temporary at a time instead of the full (nv, ND, 128)
-        # (scoped-VMEM peak: J_scr alone is 2.6 MB on G1; the unchunked
-        # form OOMed the 16M scoped limit on real TPU)
-        CH = 48
-
-        def _chunks(n):
-            return [(c, min(c + CH, n)) for c in range(0, n, CH)]
+            dparts.append(on[r * K:(r + 1) * K, :] * Dr)
+        if neq:
+            dparts.append(Dnc_ref[0:neq, :])
+        Dd = jnp.concatenate(dparts, axis=0)  # (ND, 128)
 
         # contact aref = -bb * (J qvel) [- kimp on the position rows:
         # all R pyramid rows, only the normal row for elliptic]
         qv = qvel_ref[:]  # (nv, 128)
-        velc = jnp.concatenate(
-            [
-                jnp.sum(J_scr[:, ca:cb, :] * qv[:, None, :], axis=0)
-                for ca, cb in _chunks(RK)
-            ],
-            axis=0,
-        )
+        velc = jnp.sum(Jall[:, 0:RK, :] * qv[:, None, :], axis=0)
         bb = bb_ref[:]
         kimp = kimp_ref[:]
+        aparts = []
         for r in range(R):
             sl = slice(r * K, (r + 1) * K)
             a = -bb * velc[sl, :]
             if not (elliptic and r > 0):
                 a = a - kimp
-            arefd_scr[sl, :] = on[sl, :] * a
-        for e in range(neq):
-            arefd_scr[RK + e:RK + e + 1, :] = arefnc_ref[e:e + 1, :]
+            aparts.append(on[sl, :] * a)
+        if neq:
+            aparts.append(arefnc_ref[0:neq, :])
+        arefd = jnp.concatenate(aparts, axis=0)  # (ND, 128)
 
         # ---------- phase B: Newton solve ----------
         D_fr = Dnc_ref[neq:neq + nv, :]
@@ -166,8 +163,6 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
         D_lim = Dnc_ref[neq + nv:NC, :]
         aref_lim = arefnc_ref[neq + nv:NC, :]
         side = side_ref[:]  # (nlim, 128) signed, 0 when inactive
-        Dd = Dd_scr[:]      # (ND, 128)
-        arefd = arefd_scr[:]
 
         # limit rows nearly always cover a contiguous dof range (every
         # actuated hinge/slide): slice instead of per-row gather/scatter
@@ -183,13 +178,7 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
             return acc
 
         def Jd_mul(vec):  # dense rows: (nv,128) -> (ND,128)
-            return jnp.concatenate(
-                [
-                    jnp.sum(J_scr[:, ca:cb, :] * vec[:, None, :], axis=0)
-                    for ca, cb in _chunks(ND)
-                ],
-                axis=0,
-            )
+            return jnp.sum(Jall * vec[:, None, :], axis=0)
 
         def lim_mul(vec):  # (nv,128) -> (nlim,128)
             if nlim == 0:
@@ -218,11 +207,7 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
             return out
 
         def JT_all(f_fr, f_lim, f_d):  # -> (nv,128)
-            out = f_fr
-            for ca, cb in _chunks(ND):
-                out = out + jnp.sum(
-                    J_scr[:, ca:cb, :] * f_d[None, ca:cb, :], axis=1
-                )
+            out = f_fr + jnp.sum(Jall * f_d[None, :, :], axis=1)
             if nlim:
                 out = out + lim_scatter(f_lim)
             return out
@@ -247,8 +232,12 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                     tt = tt + x[r] * x[r]
                 T = jnp.sqrt(jnp.maximum(tt, _EPSQ))
                 w = mut * xn + T
-                bottom = jnp.where(mu_pos, w <= 0, xn < 0)
-                top = (~bottom) & jnp.where(mu_pos, xn >= mut * T, xn >= 0)
+                # select_n over i1 vectors is unsupported by Mosaic:
+                # express the zone masks with boolean algebra instead
+                bottom = (mu_pos & (w <= 0)) | ((~mu_pos) & (xn < 0))
+                top = (~bottom) & (
+                    (mu_pos & (xn >= mut * T)) | ((~mu_pos) & (xn >= 0))
+                )
                 mid = (~bottom) & (~top)
                 return dict(sD=sD, x=x, xn=xn, tt=tt, T=T, w=w,
                             bottom=bottom, mid=mid)
@@ -350,10 +339,11 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
 
         def chol_solve(col, g):
             """Solve A x = g with A SPD given by `col(j)` -> full column j
-            as an (nv, 128) tile. Jacobi-equilibrated Cholesky; columns of
-            the factor (zeros above the diagonal) live in the 3D L_scr, so
-            every factor/substitution step is a full-column vector op
-            instead of (1, 128) scalar planes."""
+            as an (nv, 128) tile. Jacobi-equilibrated Cholesky; factor
+            columns (zeros above the diagonal) are kept as VALUES so every
+            factor/substitution step is a full-column vector op — strided
+            3D-ref reads (row reads, multi-dim middle slices) lower to an
+            unsupported gather on TPU, so no factor scratch ref is used."""
             cols = [col(j) for j in range(nv)]
             diag = jnp.concatenate(
                 [cols[j][j:j + 1, :] for j in range(nv)], axis=0
@@ -361,38 +351,29 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
             scale = jax.lax.rsqrt(jnp.maximum(diag, _EPS))
             g = g * scale
             ridge = 1e-6
+            L = [None] * nv
             for j in range(nv):
                 s = cols[j] * (scale * scale[j:j + 1, :])
                 s = s + jnp.where(rows_iota == j, ridge, 0.0)
-                if j:
-                    s = s - jnp.sum(
-                        L_scr[0:j, :, :] * L_scr[0:j, j:j + 1, :], axis=0
-                    )
+                for k in range(j):
+                    s = s - L[k] * L[k][j:j + 1, :]
                 dcol = jnp.sqrt(jnp.maximum(s[j:j + 1, :], ridge))
-                L_scr[j, :, :] = jnp.where(rows_iota >= j, s / dcol, 0.0)
+                L[j] = jnp.where(rows_iota >= j, s / dcol, 0.0)
             # forward: y = L^-1 g, column-oriented residual updates
             r = g
             ys = [None] * nv
             for j in range(nv):
-                yj = r[j:j + 1, :] / L_scr[j, j:j + 1, :]
-                r = r - L_scr[j, :, :] * yj
+                yj = r[j:j + 1, :] / L[j][j:j + 1, :]
+                r = r - L[j] * yj
                 ys[j] = yj
-            # backward: x = L^-T y via the inner-product form using only
-            # COLUMN reads (row reads of a 3D ref lower to an unsupported
-            # strided gather on TPU): column k is zero above the diagonal
-            # and xacc is zero at rows <= k, so sum(col_k * xacc) is
-            # exactly sum_{k'>k} L[k',k] x[k'].
-            # backward: x = L^-T y via the inner-product form using only
-            # COLUMN reads (row reads of a 3D ref lower to an unsupported
-            # strided gather on TPU): column k is zero above the diagonal
-            # and xacc is zero at rows <= k, so sum(col_k * xacc) is
-            # exactly sum_{k'>k} L[k',k] x[k'].
+            # backward: x = L^-T y, inner-product form over columns:
+            # column k is zero above the diagonal and xacc is zero at
+            # rows <= k, so sum(L[k] * xacc) = sum_{k'>k} L[k',k] x[k'].
             y = jnp.concatenate(ys, axis=0)
             xacc = jnp.zeros((nv, LANES), jnp.float32)
             for k in reversed(range(nv)):
-                colk = L_scr[k, :, :]
-                s = jnp.sum(colk * xacc, axis=0, keepdims=True)
-                xk = (y[k:k + 1, :] - s) / L_scr[k, k:k + 1, :]
+                s = jnp.sum(L[k] * xacc, axis=0, keepdims=True)
+                xk = (y[k:k + 1, :] - s) / L[k][k:k + 1, :]
                 xacc = jnp.where(rows_iota == k, xk, xacc)
             return xacc * scale
 
@@ -476,7 +457,7 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                         B[s][r] = val
                 Dq_eq = Dd[RK:ND, :] if neq else None
                 for j in range(nv):
-                    Jj = [J_scr[j, r * K:(r + 1) * K, :] for r in range(R)]
+                    Jj = [Jv[j][r * K:(r + 1) * K, :] for r in range(R)]
                     BJ = []
                     for r in range(R):
                         acc = B[r][0] * Jj[0]
@@ -485,18 +466,18 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                         BJ.append(acc)
                     # column j over all i at once: (nv, K, 128) reductions
                     colH = jnp.sum(
-                        J_scr[:, 0:K, :] * BJ[0][None, :, :], axis=1
+                        Jall[:, 0:K, :] * BJ[0][None, :, :], axis=1
                     )
                     for r in range(1, R):
                         colH = colH + jnp.sum(
-                            J_scr[:, r * K:(r + 1) * K, :]
+                            Jall[:, r * K:(r + 1) * K, :]
                             * BJ[r][None, :, :],
                             axis=1,
                         )
                     if neq:
                         colH = colH + jnp.sum(
-                            J_scr[:, RK:ND, :]
-                            * (Dq_eq * J_scr[j, RK:ND, :])[None, :, :],
+                            Jall[:, RK:ND, :]
+                            * (Dq_eq * Jv[j][RK:ND, :])[None, :, :],
                             axis=1,
                         )
                     colH = colH + mc_col(j)
@@ -507,12 +488,11 @@ def _make_kernel(nv, K, R, ndirs, neq, nlim, lim_dofs, iterations,
                 # H = M + diag(fr/limits) + Jd^T Dq_d Jd, built a full
                 # column at a time with row-chunked reductions
                 for j in range(nv):
-                    JDj = J_scr[j] * Dq_d
+                    JDj = Jv[j] * Dq_d
                     colH = mc_col(j) + jnp.where(rows_iota == j, diagv, 0.0)
-                    for ca, cb in _chunks(ND):
-                        colH = colH + jnp.sum(
-                            J_scr[:, ca:cb, :] * JDj[None, ca:cb, :], axis=1
-                        )
+                    colH = colH + jnp.sum(
+                        Jall * JDj[None, :, :], axis=1
+                    )
                     H_scr[j, :, :] = colH
             dx = -chol_solve(h_col, grad)
 
@@ -714,11 +694,7 @@ def newton_assemble_solve(
             jax.ShapeDtypeStruct((nv, E), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nv, RK + neq, LANES), jnp.float32),
             pltpu.VMEM((nv, nv, LANES), jnp.float32),
-            pltpu.VMEM((nv, nv, LANES), jnp.float32),
-            pltpu.VMEM((RK + neq, LANES), jnp.float32),
-            pltpu.VMEM((RK + neq, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(
