@@ -391,18 +391,10 @@ class ManagerBasedRlEnv:
 
     def _refresh_kinematics(self):
         """Post-reset kinematic refresh: positions/velocities of all envs
-        (the reference calls full sim.forward when any env resets)."""
-        model_axes = self.sim.model_axes
-
-        def refresh(m, d):
-            d = kinematics(m, d)
-            d = com_pos(m, d)
-            d = com_vel(m, d)
-            return d
-
-        self.ctx.data = jax.vmap(refresh, in_axes=(model_axes, 0))(
-            self.ctx.model, self.ctx.data
-        )
+        (the reference calls full sim.forward when any env resets).
+        Engine-selected: the env-last kernel path when available, else
+        the vmapped kinematics+com_pos+com_vel stages (sim.refresh_fn)."""
+        self.ctx.data = self.sim.refresh_fn()(self.ctx.model, self.ctx.data)
 
     def _reset_masked(self, mask) -> dict:
         """Masked reset of all composed state, reference order

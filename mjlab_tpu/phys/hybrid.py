@@ -501,7 +501,7 @@ def _step_envlast(m: Model, bf: frozenset, d: Data) -> Data:
     from mjlab_tpu.phys.smooth_pallas import dr_smooth_inputs
 
     dr = dr_smooth_inputs(m, bf, dtype)
-    gxpos, gxmat, subcom, cdof, cinA, cinc, xipos = kin_com(
+    gxpos, gxmat, subcom, cdof, cinA, cinc, xipos, _, _ = kin_com(
         m, qT, mcT, mcqT, interp, bf=bf, dr=dr
     )
 
@@ -598,3 +598,216 @@ def step_hybrid(m: Model, bf: frozenset, d: Data, m_axes,
     if qacc_int is None:
         return _batched_stage(fwd.integrate, m_axes)(m, d)
     return jax.vmap(fwd.integrate, in_axes=(m_axes, 0, 0))(m, d, qacc_int)
+
+
+# ---------------------------------------------------------------------------
+# env-layer kinematic refresh on the env-last kernel path
+# ---------------------------------------------------------------------------
+#
+# The env calls a full-surface kinematic refresh once per CONTROL step
+# (after masked resets, before observations — the reference calls
+# mjwarp forward there, reference src/mjlab/envs/manager_based_rl_env.py
+# reset path). The lean env-last substep intentionally skips the
+# kinematic writebacks, so this refresh is what keeps
+# xpos/xquat/geom/site frames, subtree_com, cdof, cinert, cvel and
+# cdof_dot fresh for the manager/observation layer. The vmapped
+# kinematics+com_pos+com_vel refresh was the largest remaining
+# env-layer cost (~2-4 ms/control step at 4096 envs, PERF_NOTES.md
+# round-4); this path reuses the kin_com Pallas kernel (already compiled
+# for the substep) and expands the remaining fields in env-last XLA:
+# everything is elementwise on (rows, E) planes plus two tiny static
+# ancestor-structure matmuls for cvel/cdof_dot.
+
+
+def _quat_mat_planes(q):
+    """(n, 4, E) quats -> (n, 9, E) row-major rotation matrices."""
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return jnp.stack(
+        [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+         2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+         2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+        axis=1,
+    )
+
+
+def _mat_mul_planes(a, b):
+    """Row-major 3x3 products on (n, 9, E) planes (broadcasts)."""
+    out = []
+    for i in range(3):
+        for j in range(3):
+            out.append(
+                sum(a[:, 3 * i + k] * b[:, 3 * k + j] for k in range(3))
+            )
+    return jnp.stack(out, axis=1)
+
+
+def _rot_planes(R, v):
+    """(n, 9, E) rotations applied to (n, 3, E) vectors."""
+    return jnp.stack(
+        [sum(R[:, 3 * i + k] * v[:, k] for k in range(3)) for i in range(3)],
+        axis=1,
+    )
+
+
+def _cross_planes(a, b):
+    """(n, 3, E) x (n, 3, E)."""
+    return jnp.stack(
+        [a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+         a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+         a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]],
+        axis=1,
+    )
+
+
+def _mfld(m: Model, bf: frozenset, name: str):
+    """Model field as env-last planes: (rows..., E) when DR-batched per
+    bf, else the shared (rows..., 1) value (broadcasts against planes)."""
+    v = getattr(m, name)
+    if name in bf:
+        return jnp.moveaxis(v, 0, -1)
+    return jnp.asarray(v)[..., None]
+
+
+def _cvel_structure(m: Model):
+    """Static accumulation structure of mj_comVel: A (nbody, nv) sums
+    ancestor-dof contributions into body cvel; B (nv, nv) sums the
+    contributions accumulated BEFORE each dof (the velocity cdof_dot's
+    motion_cross uses — free-joint translation dofs see none, rotation
+    dofs see ancestors + their own translations; see smooth.com_vel)."""
+    from mjlab_tpu.phys.model import JNT_BALL, JNT_FREE
+
+    nb, nv = m.nbody, m.nv
+    parent = np.asarray(m.body_parentid)
+    jadr_ = np.asarray(m.body_jntadr)
+    jnum_ = np.asarray(m.body_jntnum)
+    jtype_ = np.asarray(m.jnt_type)
+    vadr_ = np.asarray(m.jnt_dofadr)
+
+    A = np.zeros((nb, nv), np.float32)
+    B = np.zeros((nv, nv), np.float32)
+    body_dofs: list[list[int]] = [[] for _ in range(nb)]
+
+    for b in range(1, nb):
+        anc = list(body_dofs[parent[b]])  # dofs accumulated at parent
+        seen = list(anc)
+        for k in range(int(jnum_[b])):
+            j = int(jadr_[b] + k)
+            jt = int(jtype_[j])
+            va = int(vadr_[j])
+            if jt == JNT_FREE:
+                # translation dofs: cdof_dot = 0 (B rows stay zero)
+                seen = seen + [va, va + 1, va + 2]
+                for i in range(3, 6):
+                    B[va + i, seen] = 1.0
+                seen = seen + [va + 3, va + 4, va + 5]
+            elif jt == JNT_BALL:
+                for i in range(3):
+                    B[va + i, seen] = 1.0
+                seen = seen + [va, va + 1, va + 2]
+            else:
+                B[va, seen] = 1.0
+                seen = seen + [va]
+        body_dofs[b] = seen
+        A[b, seen] = 1.0
+    return A, B
+
+
+def refresh_envlast(m: Model, bf: frozenset, d: Data) -> Data:
+    """Full-surface kinematic refresh of every env, env-last.
+
+    Writes the fields the manager/observation/sensor layer consumes:
+    xpos/xquat/xmat/xipos/ximat, geom/site frames, subtree_com, cinert,
+    cdof, cvel, cdof_dot. xanchor/xaxis are NOT refreshed (no consumer
+    outside the physics step, which recomputes them internally).
+    Numerically matches the vmapped kinematics+com_pos+com_vel refresh
+    (tests/test_refresh_envlast.py)."""
+    import os
+
+    from mjlab_tpu.phys.smooth_pallas import dr_smooth_inputs, kin_com
+
+    interp = bool(os.environ.get("MJLAB_TPU_SOLVER_INTERPRET"))
+    E = d.qpos.shape[0]
+    nb, nv, ng, ns = m.nbody, m.nv, m.ngeom, m.nsite
+
+    qT = d.qpos.T
+    vT = d.qvel.T
+    mcT = mcqT = None
+    if m.nmocap:
+        mcT = jnp.moveaxis(d.mocap_pos, 0, -1)
+        mcqT = jnp.moveaxis(d.mocap_quat, 0, -1)
+    dr = dr_smooth_inputs(m, bf, d.qpos.dtype)
+    _, _, subcom, cdof, cinA, cinc, xipos, xpos, xquat = kin_com(
+        m, qT, mcT, mcqT, interp, bf=bf, dr=dr
+    )
+
+    xmat = _quat_mat_planes(xquat)  # (nb, 9, E)
+    ximat = _mat_mul_planes(xmat, _quat_mat_planes(_mfld(m, bf, "body_iquat")))
+
+    gb = np.asarray(m.geom_bodyid)
+    gxmat = _mat_mul_planes(
+        xmat[gb], _quat_mat_planes(_mfld(m, bf, "geom_quat"))
+    )
+    gxpos = xpos[gb] + _rot_planes(xmat[gb], _mfld(m, bf, "geom_pos"))
+    if ns:
+        sb = np.asarray(m.site_bodyid)
+        sxmat = _mat_mul_planes(
+            xmat[sb], _quat_mat_planes(jnp.asarray(m.site_quat)[..., None])
+        )
+        sxpos = xpos[sb] + _rot_planes(
+            xmat[sb], jnp.asarray(m.site_pos)[..., None]
+        )
+
+    # cvel / cdof_dot: two static ancestor-structure contractions
+    A, B = _cvel_structure(m)
+    cd_v = cdof * vT[:, None, :]  # (nv, 6, E)
+    cvel = jnp.einsum("bj,jce->bce", jnp.asarray(A), cd_v)
+    vb = jnp.einsum("ij,jce->ice", jnp.asarray(B), cd_v)  # v before dof i
+    cdof_dot = jnp.concatenate(
+        [
+            _cross_planes(vb[:, :3], cdof[:, :3]),
+            _cross_planes(vb[:, 3:], cdof[:, :3])
+            + _cross_planes(vb[:, :3], cdof[:, 3:]),
+        ],
+        axis=1,
+    )
+
+    # cinert 6x6 blocks from the kernel's (A sym6, c, mass) planes:
+    # [[A, m skew(c)], [-m skew(c), m I]] (math.spatial_inertia)
+    mass = _mfld(m, bf, "body_mass")  # (nb, E|1)
+    c0, c1, c2 = cinc[:, 0], cinc[:, 1], cinc[:, 2]
+    h0, h1, h2 = mass * c0, mass * c1, mass * c2
+    z = jnp.zeros(jnp.broadcast_shapes(h0.shape, cinA[:, 0].shape),
+                  d.qpos.dtype)
+    mm = mass + z
+    a00, a01, a02, a11, a12, a22 = (cinA[:, i] + z for i in range(6))
+    cin36 = jnp.stack(
+        [a00, a01, a02, z, -h2 + z, h1 + z,
+         a01, a11, a12, h2 + z, z, -h0 + z,
+         a02, a12, a22, -h1 + z, h0 + z, z,
+         z, h2 + z, -h1 + z, mm, z, z,
+         -h2 + z, z, h0 + z, z, mm, z,
+         h1 + z, -h0 + z, z, z, z, mm],
+        axis=1,
+    )  # (nb, 36, E)
+
+    def ef(x):  # (n, c, E) -> (E, n, c)
+        return jnp.moveaxis(x, -1, 0)
+
+    def ef9(x):  # (n, 9, E) -> (E, n, 3, 3)
+        return jnp.moveaxis(x, -1, 0).reshape(E, x.shape[0], 3, 3)
+
+    upd = dict(
+        xpos=ef(xpos), xquat=ef(xquat), xmat=ef9(xmat),
+        xipos=ef(xipos), ximat=ef9(ximat),
+        geom_xpos=ef(gxpos) if ng else d.geom_xpos,
+        geom_xmat=ef9(gxmat) if ng else d.geom_xmat,
+        subtree_com=ef(subcom),
+        cinert=ef(cin36).reshape(E, nb, 6, 6),
+        cdof=ef(cdof), cvel=ef(cvel), cdof_dot=ef(cdof_dot),
+    )
+    if ns:
+        upd.update(site_xpos=ef(sxpos), site_xmat=ef9(sxmat))
+    return d.replace(**upd)

@@ -242,7 +242,10 @@ def kin_com(m: Model, qT: jax.Array, mocapT: jax.Array | None = None,
     smooth fields in as per-env planes (dr_smooth_inputs). Returns
     env-last: gxpos (Gc, 3, E), gxmat (Gc, 9, E) for the
     collision_geoms(m) subset, subcom (nbody, 3, E), cdof (nv, 6, E),
-    cinA (nbody, 6, E), cinc (nbody, 3, E), xipos (nbody, 3, E)."""
+    cinA (nbody, 6, E), cinc (nbody, 3, E), xipos (nbody, 3, E),
+    xpos (nbody, 3, E), xquat (nbody, 4, E). The body frames feed the
+    env layer's per-control-step kinematic refresh (refresh_envlast);
+    the extra writes are ~0.1 MB/substep at 4096 envs."""
     E = qT.shape[-1]
     sub = _sublanes(E)
     nb, nv, nq = m.nbody, m.nv, m.nq
@@ -259,7 +262,7 @@ def kin_com(m: Model, qT: jax.Array, mocapT: jax.Array | None = None,
     def kernel(q_ref, mc_ref, mcq_ref, *rest):
         dr_refs = rest[: len(dr_specs)]
         (gxpos_ref, gxmat_ref, subcom_ref, cdof_ref, cinA_ref, cinc_ref,
-         xipos_ref) = rest[len(dr_specs):]
+         xipos_ref, xpos_ref, xquat_ref) = rest[len(dr_specs):]
         P = make_params(dr_refs)
         q = tuple(q_ref[i] for i in range(nq))
         mpos = [tuple(mc_ref[i, c] for c in range(3)) for i in range(nmc)]
@@ -282,6 +285,11 @@ def kin_com(m: Model, qT: jax.Array, mocapT: jax.Array | None = None,
         for i in range(nv):
             for c in range(6):
                 cdof_ref[i, c] = zero + k["cdof"][i][c]
+        for b in range(nb):
+            for c in range(3):
+                xpos_ref[b, c] = zero + k["xpos"][b][c]
+            for c in range(4):
+                xquat_ref[b, c] = zero + k["xquat"][b][c]
 
     out = pl.pallas_call(
         kernel,
@@ -293,12 +301,12 @@ def kin_com(m: Model, qT: jax.Array, mocapT: jax.Array | None = None,
         out_specs=(
             _spec((G, 3), sub), _spec((G, 9), sub), _spec((nb, 3), sub),
             _spec((nv, 6), sub), _spec((nb, 6), sub), _spec((nb, 3), sub),
-            _spec((nb, 3), sub),
+            _spec((nb, 3), sub), _spec((nb, 3), sub), _spec((nb, 4), sub),
         ),
         out_shape=(
             _out_sd((G, 3), E), _out_sd((G, 9), E), _out_sd((nb, 3), E),
             _out_sd((nv, 6), E), _out_sd((nb, 6), E), _out_sd((nb, 3), E),
-            _out_sd((nb, 3), E),
+            _out_sd((nb, 3), E), _out_sd((nb, 3), E), _out_sd((nb, 4), E),
         ),
         interpret=interpret,
     )(_env_blocks(qT), _env_blocks(mocapT), _env_blocks(mocapqT), *dr_ops)

@@ -213,6 +213,31 @@ class Simulation:
             return lambda mm, dd: forward_hybrid(mm, bf, dd, axes)
         return jax.vmap(_fwd.forward, in_axes=(self.model_axes, 0))
 
+    def refresh_fn(self):
+        """Per-control-step kinematic refresh (all envs): positions +
+        velocities of every frame the manager/observation layer reads
+        (the reference calls full mjwarp forward after resets,
+        reference src/mjlab/envs/manager_based_rl_env.py:267-268). On
+        the env-last kernel path this reuses the kin_com Pallas kernel
+        (phys/hybrid.refresh_envlast) instead of the vmapped stages."""
+        from mjlab_tpu.phys.kinematics import com_pos, kinematics
+        from mjlab_tpu.phys.smooth import com_vel
+
+        if self.engine() == "hybrid":
+            from mjlab_tpu.phys.hybrid import _use_smooth_pallas, refresh_envlast
+
+            bf = self._batched_fields
+            if _use_smooth_pallas(self.model, bf, self.data, self.num_envs):
+                return lambda mm, dd: refresh_envlast(mm, bf, dd)
+
+        def refresh(mm, dd):
+            dd = kinematics(mm, dd)
+            dd = com_pos(mm, dd)
+            dd = com_vel(mm, dd)
+            return dd
+
+        return jax.vmap(refresh, in_axes=(self.model_axes, 0))
+
     # -- eager convenience API --
 
     def _get(self, name, fn):

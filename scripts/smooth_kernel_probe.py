@@ -57,7 +57,7 @@ def main():
         fetch(out)
     print(f"kin_com 3x run: {(time.perf_counter() - t0) / 3 * 1e3:.2f} ms",
           flush=True)
-    gxpos, gxmat, subcom, cdof, cinA, cinc, xipos = out
+    gxpos, gxmat, subcom, cdof, cinA, cinc, xipos, _, _ = out
 
     if WHICH in ("all", "crb"):
         t0 = time.perf_counter()

@@ -7,18 +7,17 @@ import json
 import os
 
 
+# explicit headline tags (always included when present) plus every
+# Episode_Reward/ / Episode_Termination/ / Curriculum/ tag discovered in
+# the run — task families log different term names (jump, lift-cube)
 TAGS = [
     "train/mean_reward",
     "train/kl",
     "train/lr",
     "Episode/length",
-    "Episode_Reward/track_linear_velocity",
-    "Episode_Reward/track_angular_velocity",
-    "Episode_Reward/upright",
-    "Episode_Termination/fell_over",
-    "Episode_Termination/time_out",
     "Metrics/slip_velocity_mean",
 ]
+AUTO_PREFIXES = ("Episode_Reward/", "Episode_Termination/", "Curriculum/")
 
 
 def summarize(run_dir: str, every: int = 500) -> dict:
@@ -33,9 +32,11 @@ def summarize(run_dir: str, every: int = 500) -> dict:
         )
         ea.Reload()
         avail = ea.Tags().get("scalars", [])
-        for tag in TAGS:
-            if tag not in avail:
-                continue
+        tags = [t for t in TAGS if t in avail] + [
+            t for t in avail
+            if t.startswith(AUTO_PREFIXES) and t not in TAGS
+        ]
+        for tag in tags:
             series = ea.Scalars(tag)
             for ev in series:
                 if ev.step % every == 0 or ev is series[-1]:

@@ -61,7 +61,7 @@ def test_kin_com_crb_match_vmapped_toy():
     ref = _vmapped_through(m, d, [kinematics, com_pos, smooth.crb])
 
     qT = d.qpos.T
-    gxpos, gxmat, subcom, cdof, cinA, cinc, xipos = kin_com(
+    gxpos, gxmat, subcom, cdof, cinA, cinc, xipos, xpos, xquat = kin_com(
         m, qT, interpret=True
     )
     cg = collision_geoms(m)
@@ -73,6 +73,8 @@ def test_kin_com_crb_match_vmapped_toy():
     assert _rel_err(np.moveaxis(np.asarray(ref.subtree_com), 0, -1), subcom) < 2e-6
     assert _rel_err(np.moveaxis(np.asarray(ref.cdof), 0, -1), cdof) < 2e-6
     assert _rel_err(np.moveaxis(np.asarray(ref.xipos), 0, -1), xipos) < 2e-6
+    assert _rel_err(np.moveaxis(np.asarray(ref.xpos), 0, -1), xpos) < 2e-6
+    assert _rel_err(np.moveaxis(np.asarray(ref.xquat), 0, -1), xquat) < 2e-6
 
     # cinert blocks: compare against the (E, nbody, 6, 6) spatial inertia
     ref_ci = np.asarray(ref.cinert)  # (E, nb, 6, 6)
@@ -128,7 +130,7 @@ def test_vel_smooth_matches_vmapped_toy():
     ref = jax.jit(jax.vmap(accum, in_axes=(axes, 0)))(m, ref)
 
     qT, vT, ctrlT = d.qpos.T, d.qvel.T, d.ctrl.T
-    gxpos, gxmat, subcom, cdof, cinA, cinc, xipos = kin_com(
+    gxpos, gxmat, subcom, cdof, cinA, cinc, xipos, xpos, xquat = kin_com(
         m, qT, interpret=True
     )
     xfrcT = jnp.moveaxis(d.xfrc_applied, 0, -1)
